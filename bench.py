@@ -1,0 +1,151 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: pure 9x9 env throughput (env-steps/s) for a batch of boards
+stepping random legal moves fully on device — BASELINE.json config #1.
+``vs_baseline`` is measured against the driver's north-star target of 500K
+aggregate env-steps/s on a v5p-16, prorated to one chip (500000/16 = 31250).
+
+Extra sub-benchmarks (self-play with net+MCTS, train step) run with
+--all and are reported on stderr; the required single JSON line always goes
+to stdout last.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PER_CHIP = 500_000 / 16
+
+
+def bench_env_steps(batch: int = 4096, iters: int = 64, size: int = 9):
+    """Random-legal-policy env stepping, fully jitted (config #1)."""
+    from transgo_tpu.ops import GoEngine
+
+    eng = GoEngine(size, komi=7.5, max_step=size * size + 40)
+
+    def tick(state, key):
+        analysis = eng.analyze(state)
+        mask = eng.legal_action_mask_full(state, analysis)
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        action = jax.random.categorical(key, logits, axis=1).astype(jnp.int32)
+        state, done = eng.step(state, action, analysis)
+        state = eng.auto_reset(state)
+        return state
+
+    @jax.jit
+    def run(state, key):
+        def body(i, carry):
+            state, key = carry
+            key, k = jax.random.split(key)
+            return tick(state, k), key
+
+        return jax.lax.fori_loop(0, iters, body, (state, key))
+
+    state = eng.init(batch)
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    out = run(state, key)
+    jax.block_until_ready(out[0].stones)
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        out = run(out[0], jax.random.fold_in(key, r))
+    jax.block_until_ready(out[0].stones)
+    dt = time.perf_counter() - t0
+    steps = batch * iters * reps
+    return steps / dt
+
+
+def bench_selfplay(batch: int = 64, sims: int = 50):
+    """Tiny-net self-play with MCTS (config #2-ish): moves/s and
+    env-steps/s counting tree simulations."""
+    from transgo_tpu.config import Config
+    from transgo_tpu.models import build_network
+    from transgo_tpu.ops import GoEngine
+    from transgo_tpu.runtime.actor import SelfPlayActor
+    from transgo_tpu.search.mcts import MCTS, SearchMode
+
+    cfg = Config(
+        num_simulation=sims, selfplay_batch=batch, num_features=32
+    )
+    eng = GoEngine(9, 7.5, 120)
+    net = build_network(cfg, "main")
+    variables = net.init(jax.random.PRNGKey(0))
+    mcts = MCTS(cfg, eng, SearchMode.WP)
+    actor = SelfPlayActor(cfg, mcts, net)
+    state = actor.init_state(variables, jax.random.PRNGKey(1))
+    play = jax.jit(actor.play_move)
+    state, out = play(state, variables)     # compile
+    jax.block_until_ready(out.done)
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        state, out = play(state, variables)
+    jax.block_until_ready(out.done)
+    dt = time.perf_counter() - t0
+    moves = batch * reps
+    return moves / dt, moves * sims / dt
+
+
+def bench_train(batch: int = 2048):
+    from transgo_tpu.config import Config
+    from transgo_tpu.models import build_network
+    from transgo_tpu.runtime.learner import Learner
+
+    cfg = Config()
+    net = build_network(cfg, "main")
+    v = net.init(jax.random.PRNGKey(0))
+    learner = Learner(cfg, net)
+    state = learner.init_state(v)
+    rng = np.random.default_rng(0)
+    b = (
+        jnp.asarray(rng.integers(0, 2, (batch, 9, 9, 10)), jnp.float32),
+        jnp.full((batch, 82), 1 / 82, jnp.float32),
+        jnp.asarray(rng.choice([-1.0, 1.0], batch), jnp.float32),
+        jnp.asarray(rng.choice([-1.0, 0.0, 1.0], (batch, 81)), jnp.float32),
+    )
+    step = jax.jit(learner.train_step)
+    state, m = step(state, b, cfg.learn_rate)
+    jax.block_until_ready(m["total_loss"])
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        state, m = step(state, b, cfg.learn_rate)
+    jax.block_until_ready(m["total_loss"])
+    dt = time.perf_counter() - t0
+    return reps * batch / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    if args.all:
+        try:
+            mps, sps = bench_selfplay()
+            print(f"selfplay: {mps:.1f} moves/s ({sps:.0f} sim-steps/s)",
+                  file=sys.stderr)
+            tps = bench_train()
+            print(f"train: {tps:.0f} samples/s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"sub-bench failed: {e}", file=sys.stderr)
+
+    eps = bench_env_steps(args.batch, args.iters)
+    print(json.dumps({
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(eps / BASELINE_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

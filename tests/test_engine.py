@@ -1,0 +1,389 @@
+"""Rules-engine unit tests: capture, ko, suicide, termination, scoring.
+
+The reference has no automated tests (SURVEY.md section 4); these encode the
+rules semantics of board.cc / go_env.cc as executable specifications.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transgo_tpu.ops import BLACK, EMPTY, GoEngine, PASS, WHITE
+from transgo_tpu.ops.groups import group_labels, group_stats
+from transgo_tpu.ops.state import board_spec
+
+
+def play(eng, moves, batch=1):
+    s = eng.init(batch)
+    step = jax.jit(eng.step)
+    for m in moves:
+        s, done = step(s, jnp.full((batch,), m, jnp.int32))
+    return s
+
+
+def grid(s, b=0):
+    size = int(np.sqrt(s.stones.shape[-1]))
+    return np.asarray(s.stones[b]).reshape(size, size)
+
+
+class TestGroups:
+    def test_labels_merge(self):
+        spec = board_spec(5)
+        stones = np.zeros((1, 25), np.int8)
+        # L-shaped black group: 0,1,2,7,12 ; white at 6
+        for c in [0, 1, 2, 7, 12]:
+            stones[0, c] = BLACK
+        stones[0, 6] = WHITE
+        lbl = np.asarray(group_labels(spec, jnp.asarray(stones)))
+        assert all(lbl[0, c] == 0 for c in [0, 1, 2, 7, 12])
+        assert lbl[0, 6] == 6
+        assert lbl[0, 3] == -1
+
+    def test_liberties(self):
+        spec = board_spec(5)
+        stones = np.zeros((1, 25), np.int8)
+        for c in [0, 1, 2, 7, 12]:
+            stones[0, c] = BLACK
+        stones[0, 6] = WHITE
+        g = group_stats(spec, jnp.asarray(stones))
+        # black group liberties: 3, 5, 8, 11, 13, 17 => 6
+        assert int(g.libs_by_root[0, 0]) == 6
+        assert int(g.size_by_root[0, 0]) == 5
+        # white stone at 6: nbrs 1(B),5,7(B),11 -> libs 5, 11 => 2
+        assert int(g.libs_by_root[0, 6]) == 2
+
+    def test_shared_liberty_dedup(self):
+        # two stones of one group sharing an empty neighbor must count once
+        spec = board_spec(5)
+        stones = np.zeros((1, 25), np.int8)
+        stones[0, 0] = BLACK  # (0,0)
+        stones[0, 1] = BLACK  # (1,0)  shared liberties 5? no: 5,6 distinct
+        stones[0, 5] = BLACK  # (0,1) - L shape; point 6 adjacent to 1 and 5
+        g = group_stats(spec, jnp.asarray(stones))
+        # liberties: 2, 6, 10 => 3 (6 shared by stones 1 and 5 counts once)
+        assert int(g.libs_by_root[0, 0]) == 3
+
+
+def _numpy_labels(stones_flat, size):
+    """Reference flood fill for label validation."""
+    import collections
+
+    n = size * size
+    lbl = np.full(n, -1, np.int64)
+    seen = np.zeros(n, bool)
+    for c in range(n):
+        if stones_flat[c] == 0 or seen[c]:
+            continue
+        color = stones_flat[c]
+        comp = []
+        q = collections.deque([c])
+        seen[c] = True
+        while q:
+            cur = q.popleft()
+            comp.append(cur)
+            x, y = cur % size, cur // size
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < size and 0 <= ny < size:
+                    nc = ny * size + nx
+                    if not seen[nc] and stones_flat[nc] == color:
+                        seen[nc] = True
+                        q.append(nc)
+        root = min(comp)
+        for cc in comp:
+            lbl[cc] = root
+    return lbl
+
+
+class TestLabelConvergence:
+    """The fixed-round propagation must converge on worst-case shapes."""
+
+    @pytest.mark.parametrize("size", [5, 9, 19])
+    def test_serpentine(self, size):
+        # a snake covering the whole board: path length n-1
+        stones = np.zeros((1, size * size), np.int8)
+        order = []
+        for r in range(size):
+            cols = range(size) if r % 2 == 0 else range(size - 1, -1, -1)
+            order.extend(r * size + c for c in cols)
+        stones[0, order] = BLACK
+        lbl = np.asarray(group_labels(board_spec(size), jnp.asarray(stones)))
+        assert (lbl[0] == 0).all()
+
+    @pytest.mark.parametrize("size", [9, 19])
+    def test_spiral(self, size):
+        stones = np.zeros((size, size), np.int8)
+        # inward spiral of black with one-cell gaps of empty
+        top, bottom, left, right = 0, size - 1, 0, size - 1
+        while top <= bottom and left <= right:
+            stones[top, left:right + 1] = BLACK
+            stones[top + 1:bottom + 1, right] = BLACK
+            if top < bottom:
+                stones[bottom, left:right] = BLACK
+            if left < right:
+                stones[left + 1:bottom, left] = BLACK
+            top += 2
+            bottom -= 2
+            left += 2
+            right -= 2
+        flat = stones.reshape(1, -1)
+        lbl = np.asarray(group_labels(board_spec(size), jnp.asarray(flat)))
+        expect = _numpy_labels(flat[0], size)
+        assert np.array_equal(lbl[0], expect)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_boards(self, seed):
+        rng = np.random.default_rng(seed)
+        size = 9
+        stones = rng.choice(
+            [0, 1, 2], size=(8, size * size), p=[0.4, 0.3, 0.3]
+        ).astype(np.int8)
+        lbl = np.asarray(group_labels(board_spec(size), jnp.asarray(stones)))
+        for b in range(8):
+            assert np.array_equal(lbl[b], _numpy_labels(stones[b], size))
+
+
+class TestStep:
+    def test_single_capture(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        # B surrounds W at 6: B1, W6, B5, W20, B7, W21, B11 captures
+        s = play(eng, [1, 6, 5, 20, 7, 21, 11])
+        g = grid(s)
+        assert g[1, 1] == EMPTY
+        assert g[4, 0] == WHITE
+
+    def test_multi_group_capture(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        # two separate white stones captured by one move:
+        # W at 1 and 3; black at 0,2,4,6,8; then B at ... build directly
+        s = eng.init(1)
+        moves = [
+            (0, BLACK), (1, WHITE), (2, BLACK), (3, WHITE), (4, BLACK),
+            (6, BLACK), (8, BLACK),
+        ]
+        stones = np.zeros((1, 25), np.int8)
+        for c, col in moves:
+            stones[0, c] = col
+        s = s.replace(stones=jnp.asarray(stones),
+                      next_player=jnp.full((1,), BLACK, jnp.int8))
+        # white stones 1 and 3 each have... 1: nbrs 0B,2B,6B -> 0 libs already?
+        # give them one shared liberty is impossible; instead: W at 1 has lib
+        # only if 6 empty. Rebuild: black 0,2,4,8 ; white 1,3 ; B plays 6? 6
+        # is not adjacent to 3. Use 5x1 row: W1 libs={6}, W3 libs={8}; two
+        # moves needed. Simpler: snake position where one B move at 7 kills
+        # W6 and W8? 7 adjacent to 6 and 8.
+        stones = np.zeros((1, 25), np.int8)
+        for c in [1, 5, 11, 3, 9, 13]:
+            stones[0, c] = BLACK
+        for c in [6, 8]:
+            stones[0, c] = WHITE
+        # W6 nbrs: 1B,5B,7,11B; W8 nbrs: 3B,7,9B,13B -> both lib {7}
+        s = s.replace(stones=jnp.asarray(stones))
+        s2, _ = jax.jit(eng.step)(s, jnp.array([7]))
+        g = grid(s2)
+        assert g[1, 1] == EMPTY and g[1, 3] == EMPTY
+        assert g[1, 2] == BLACK
+
+    def test_suicide_rejected(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        # black true eye at 0: B at 1, 5 (and 6 to be safe). White to play 0.
+        stones = np.zeros((1, 25), np.int8)
+        for c in [1, 5, 6]:
+            stones[0, c] = BLACK
+        s = eng.init(1).replace(
+            stones=jnp.asarray(stones),
+            next_player=jnp.full((1,), WHITE, jnp.int8),
+        )
+        before = s
+        s2, _ = jax.jit(eng.step)(s, jnp.array([0]))
+        # state unchanged: move rejected
+        assert np.array_equal(np.asarray(s2.stones), np.asarray(before.stones))
+        assert int(s2.step_count[0]) == int(before.step_count[0])
+        legal = np.asarray(eng.legal_action_mask(s))
+        assert not legal[0, 0]
+
+    def test_capture_not_suicide(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        # white plays inside black eye but captures: B group in atari
+        # B at 1,5 with W at 2,6,10: black group 1? build snapback-like:
+        # W surrounds B0: W at 1... simplest: B stone at 0 with lib {5};
+        # W at 1; W plays 5 -> captures B0, not suicide even though 5 has
+        # own liberty... make 5 a 0-lib point: B at 0, B at 10? no.
+        # Corner: B0; W1, W6?? 5's nbrs: 0B,6,10. W plays 5 with W6,W10 set:
+        stones = np.zeros((1, 25), np.int8)
+        stones[0, 0] = BLACK   # lib {5} only if 1 is white
+        stones[0, 1] = WHITE
+        stones[0, 6] = WHITE
+        stones[0, 10] = WHITE
+        s = eng.init(1).replace(
+            stones=jnp.asarray(stones),
+            next_player=jnp.full((1,), WHITE, jnp.int8),
+        )
+        legal = np.asarray(eng.legal_action_mask(s))
+        assert legal[0, 5]
+        s2, _ = jax.jit(eng.step)(s, jnp.array([5]))
+        g = grid(s2)
+        assert g[0, 0] == EMPTY and g[1, 0] == WHITE
+
+    def test_simple_ko(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        #  . B W .
+        #  B W . W     <- B plays 7 capturing W at 6 ... build classic ko
+        # coords: B:1, W:2, B:5, W:8, W:12, B:11? Let's construct:
+        # black: 1, 5, 11 ; white: 2, 8, 12 ; point 6 empty, 7 empty
+        # W plays 6? nbrs of 6: 1B,5B,7,11B -> not ko shape.
+        # classic: B:1,5,11 W:2,6?? Use:
+        #   . B W .
+        #   B W . W      row1: 5=B? mapping: row0:0..4 row1:5..9
+        # B at 1, 5, 11; W at 2, 6, 12 ... 6 is W; 7 empty; W8? no.
+        stones = np.zeros((1, 25), np.int8)
+        for c in [1, 5, 11]:
+            stones[0, c] = BLACK
+        for c in [2, 8, 12]:
+            stones[0, c] = WHITE
+        # point 6 empty; 7 empty. W6 missing; make W play 6?? W group at 6:
+        # Put W at 6: its libs: 7 (1,5,11 black) -> atari. B plays 7? no —
+        # B capturing W6 by playing 7: 7 nbrs: 2W,6W,8W,12W -> suicide
+        # unless captures. W6 has 1 lib (7) -> capture. gives ko at 6.
+        stones[0, 6] = WHITE
+        s = eng.init(1).replace(
+            stones=jnp.asarray(stones),
+            next_player=jnp.full((1,), BLACK, jnp.int8),
+        )
+        s2, _ = jax.jit(eng.step)(s, jnp.array([7]))
+        g = grid(s2)
+        assert g[1, 1] == EMPTY and g[1, 2] == BLACK
+        assert int(s2.ko_location[0]) == 6
+        assert int(s2.ko_age[0]) == 0
+        assert int(s2.ko_color[0]) == WHITE
+        # white may not immediately retake at 6
+        legal = np.asarray(eng.legal_action_mask(s2))
+        assert not legal[0, 6]
+        # white plays elsewhere (20), black answers (24): ko ages out
+        s3, _ = jax.jit(eng.step)(s2, jnp.array([20]))
+        assert int(s3.ko_age[0]) == 1
+        s4, _ = jax.jit(eng.step)(s3, jnp.array([24]))
+        legal4 = np.asarray(eng.legal_action_mask(s4))
+        assert legal4[0, 6]  # white can now retake
+
+    def test_ko_survives_pass(self):
+        """Reference quirk: Play() returns before touching ko fields on a
+        pass (board.cc:554-558), so a pass does NOT age the ko."""
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        stones = np.zeros((1, 25), np.int8)
+        for c in [1, 5, 11]:
+            stones[0, c] = BLACK
+        for c in [2, 8, 12, 6]:
+            stones[0, c] = WHITE
+        s = eng.init(1).replace(
+            stones=jnp.asarray(stones),
+            next_player=jnp.full((1,), BLACK, jnp.int8),
+        )
+        s2, _ = jax.jit(eng.step)(s, jnp.array([7]))   # B captures, ko at 6
+        s3, _ = jax.jit(eng.step)(s2, jnp.array([25]))  # white passes
+        assert int(s3.ko_age[0]) == 0
+        # black to move; white's restriction is irrelevant now, but if white
+        # were to move the ko point is still forbidden — check via analyze
+        legal_w = np.asarray(
+            eng.analyze(s3.replace(
+                next_player=jnp.full((1,), WHITE, jnp.int8))).legal_board
+        )
+        assert not legal_w[0, 6]
+
+    def test_two_passes_end(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        s = play(eng, [12, 25, 25])
+        assert bool(s.terminated[0])
+
+    def test_max_step_end(self):
+        eng = GoEngine(5, komi=0.0, max_step=4)
+        s = play(eng, [0, 1, 2, 3])
+        assert bool(s.terminated[0])
+        s2 = play(eng, [0, 1, 2])
+        assert not bool(s2.terminated[0])
+
+    def test_resign_ends(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        s = play(eng, [12, -2])
+        assert bool(s.terminated[0])
+
+    def test_terminated_frozen(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        s = play(eng, [12, 25, 25])
+        s2, _ = jax.jit(eng.step)(s, jnp.array([3]))
+        assert np.array_equal(np.asarray(s2.stones), np.asarray(s.stones))
+        assert int(s2.step_count[0]) == int(s.step_count[0])
+
+    def test_pass_only_when_sole_legal(self):
+        """Environment pass-shaping (environment.py:121-129)."""
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        s = eng.init(1)
+        mask = np.asarray(eng.legal_action_mask(s))
+        assert mask[0, :25].all() and not mask[0, 25]
+
+    def test_property_live_stones_have_liberties(self):
+        """After any legal sequence every group has >= 1 liberty."""
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        rng = np.random.default_rng(0)
+        s = eng.init(4)
+        step = jax.jit(eng.step)
+        for _ in range(40):
+            legal = np.asarray(eng.legal_action_mask_full(s))
+            acts = np.array([
+                rng.choice(np.nonzero(legal[b])[0]) for b in range(4)
+            ])
+            s, _ = step(s, jnp.asarray(acts))
+            g = group_stats(eng.spec, s.stones)
+            libs = np.asarray(g.stone_libs)
+            stones = np.asarray(s.stones)
+            assert (libs[stones > 0] >= 1).all()
+
+
+class TestScoring:
+    def test_empty_board(self):
+        eng = GoEngine(5, komi=2.5, max_step=60)
+        s = eng.init(1)
+        assert float(eng.raw_score(s)[0]) == 0.0
+        assert float(eng.score(s)[0]) == -2.5
+
+    def test_territory_split(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        # black wall on col 1, white wall on col 3
+        stones = np.zeros((1, 25), np.int8)
+        for r in range(5):
+            stones[0, r * 5 + 1] = BLACK
+            stones[0, r * 5 + 3] = WHITE
+        s = eng.init(1).replace(stones=jnp.asarray(stones))
+        score, terr = eng.score_and_territory(s)
+        terr = np.asarray(terr).reshape(5, 5)
+        assert (terr[:, 0] == 1).all()     # black territory
+        assert (terr[:, 1] == 1).all()     # black stones
+        assert (terr[:, 2] == 0).all()     # dame
+        assert (terr[:, 4] == -1).all()    # white territory
+        assert float(score[0]) == 0.0      # 10 black vs 10 white
+
+    def test_conservation(self):
+        """black + white + dame covers the whole board."""
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        rng = np.random.default_rng(1)
+        s = eng.init(2)
+        step = jax.jit(eng.step)
+        for _ in range(30):
+            legal = np.asarray(eng.legal_action_mask_full(s))
+            acts = np.array([
+                rng.choice(np.nonzero(legal[b])[0]) for b in range(2)
+            ])
+            s, _ = step(s, jnp.asarray(acts))
+        terr = np.asarray(eng.territory(s))
+        assert np.isin(terr, [1, 2, 3]).all()
+
+
+class TestAutoReset:
+    def test_auto_reset(self):
+        eng = GoEngine(5, komi=0.0, max_step=60)
+        s = play(eng, [12, 25, 25], batch=2)
+        assert bool(s.terminated[0])
+        fresh = eng.auto_reset(s)
+        assert not bool(fresh.terminated[0])
+        assert np.asarray(fresh.stones).sum() == 0

@@ -1,0 +1,182 @@
+"""Feature-plane details, D4 symmetry round-trips, sub-board crop/stitch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transgo_tpu.ops import BLACK, GoEngine, WHITE
+from transgo_tpu.ops.features import (
+    FeatureEncoder,
+    sub_encode,
+    sub_to_global,
+    true_eye_mask,
+)
+from transgo_tpu.ops.state import board_spec
+from transgo_tpu.ops.symmetry import (
+    all_symmetries,
+    transform_plane,
+    transform_policy,
+)
+
+
+class TestEyes:
+    def test_corner_true_eye(self):
+        spec = board_spec(5)
+        stones = np.zeros((1, 25), np.int8)
+        # corner eye at 0: black at 1, 5; diagonal 6 must be black
+        for c in [1, 5, 6]:
+            stones[0, c] = BLACK
+        te = np.asarray(true_eye_mask(spec, jnp.asarray(stones), BLACK))
+        assert te[0, 0]
+
+    def test_corner_fake_eye(self):
+        spec = board_spec(5)
+        stones = np.zeros((1, 25), np.int8)
+        for c in [1, 5]:
+            stones[0, c] = BLACK
+        stones[0, 6] = WHITE  # enemy on the only diagonal -> fake
+        te = np.asarray(true_eye_mask(spec, jnp.asarray(stones), BLACK))
+        assert not te[0, 0]
+
+    def test_center_eye_one_enemy_diag_ok(self):
+        spec = board_spec(5)
+        stones = np.zeros((1, 25), np.int8)
+        # eye at 12 (center): black on 7, 11, 13, 17 + 3 diagonals own,
+        # 1 diagonal enemy -> still a true eye (board.cc:689 case 3)
+        for c in [7, 11, 13, 17, 6, 8, 16]:
+            stones[0, c] = BLACK
+        stones[0, 18] = WHITE
+        te = np.asarray(true_eye_mask(spec, jnp.asarray(stones), BLACK))
+        assert te[0, 12]
+        stones[0, 16] = WHITE  # second enemy diagonal -> fake
+        te = np.asarray(true_eye_mask(spec, jnp.asarray(stones), BLACK))
+        assert not te[0, 12]
+
+
+class TestEncoderPlanes:
+    def test_plane_semantics(self):
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        enc = FeatureEncoder(eng, 10)
+        s = eng.init(1)
+        s, _ = eng.step(s, jnp.array([12]))  # black center
+        f = np.asarray(jax.jit(enc)(s))[0]   # [5, 5, 10]
+        # white to move: black stone (4 libs) on OPPONENT >=3 plane
+        assert f[2, 2, 5] == 1 and f[2, 2, 2] == 0
+        # last move plane
+        assert f[2, 2, 6] == 1 and f.sum(axis=(0, 1))[6] == 1
+
+    def test_pass_clears_last_move_plane(self):
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        enc = FeatureEncoder(eng, 10)
+        s = eng.init(1)
+        s, _ = eng.step(s, jnp.array([12]))
+        s, _ = eng.step(s, jnp.array([25]))  # pass
+        f = np.asarray(jax.jit(enc)(s))[0]
+        assert f[..., 6].sum() == 0
+
+    def test_encode13_planes(self):
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        enc = FeatureEncoder(eng, 13)
+        s = eng.init(1)
+        s, _ = eng.step(s, jnp.array([12]))
+        s, _ = eng.step(s, jnp.array([7]))
+        f = np.asarray(jax.jit(enc)(s))[0]
+        assert f.shape[-1] == 13
+        assert f[1, 2, 6] == 1    # last move (white 7)
+        assert f[2, 2, 7] == 1    # second-last (black 12)
+
+
+class TestSymmetry:
+    def test_rot4_flip_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((3, 5, 5)))
+        # sym 3 = rot360 = identity
+        out = transform_plane(x, jnp.asarray(3))
+        assert np.allclose(np.asarray(out), np.asarray(x))
+
+    def test_policy_pass_invariant(self):
+        rng = np.random.default_rng(1)
+        pi = jnp.asarray(rng.random(26).astype(np.float32))
+        for sym in range(8):
+            out = transform_policy(pi, jnp.asarray(sym), 5)
+            assert np.isclose(float(out[-1]), float(pi[-1]))
+            assert np.isclose(float(out.sum()), float(pi.sum()), atol=1e-5)
+
+    def test_all_symmetries_match_numpy(self):
+        """Exact parity with the reference's rot90/fliplr augmentation
+        (self_play.py:943-965)."""
+        rng = np.random.default_rng(2)
+        obs = rng.random((3, 5, 5)).astype(np.float32)
+        pi = rng.random(26).astype(np.float32)
+        own = rng.random(25).astype(np.float32)
+        o8, p8, w8 = all_symmetries(
+            jnp.asarray(obs), jnp.asarray(pi), jnp.asarray(own), 5
+        )
+        idx = 0
+        for i in [1, 2, 3, 4]:
+            # rotation sample
+            ref_obs = np.stack([np.rot90(p, i) for p in obs])
+            ref_pi = np.append(
+                np.rot90(pi[:-1].reshape(5, 5), i).flatten(), pi[-1]
+            )
+            ref_own = np.rot90(own.reshape(5, 5), i).flatten()
+            assert np.allclose(np.asarray(o8[i - 1]), ref_obs)
+            assert np.allclose(np.asarray(p8[i - 1]), ref_pi)
+            assert np.allclose(np.asarray(w8[i - 1]), ref_own)
+            # flipped sample
+            ref_obs_f = np.stack([np.fliplr(p) for p in ref_obs])
+            ref_pi_f = np.append(
+                np.fliplr(np.rot90(pi[:-1].reshape(5, 5), i)).flatten(),
+                pi[-1],
+            )
+            ref_own_f = np.fliplr(np.rot90(own.reshape(5, 5), i)).flatten()
+            assert np.allclose(np.asarray(o8[4 + i - 1]), ref_obs_f)
+            assert np.allclose(np.asarray(p8[4 + i - 1]), ref_pi_f)
+            assert np.allclose(np.asarray(w8[4 + i - 1]), ref_own_f)
+
+
+class TestSubBoard:
+    def test_crop_matches_reference_layout(self):
+        """4 quadrant crops TL/TR/BL/BR with interval = size - sub
+        (get_sub_encode, board.cc:1166-1270)."""
+        rng = np.random.default_rng(3)
+        f = rng.random((1, 9, 9, 10)).astype(np.float32)
+        crops = np.asarray(sub_encode(jnp.asarray(f), 7, 4))
+        assert crops.shape == (1, 4, 7, 7, 10)
+        assert np.allclose(crops[0, 0], f[0, :7, :7])
+        assert np.allclose(crops[0, 1], f[0, :7, 2:])
+        assert np.allclose(crops[0, 2], f[0, 2:, :7])
+        assert np.allclose(crops[0, 3], f[0, 2:, 2:])
+
+    def test_center_crop(self):
+        rng = np.random.default_rng(4)
+        f = rng.random((1, 9, 9, 10)).astype(np.float32)
+        crops = np.asarray(sub_encode(jnp.asarray(f), 7, 5))
+        assert crops.shape[1] == 5
+        assert np.allclose(crops[0, 4], f[0, 1:8, 1:8])
+
+    def test_stitch_matches_reference(self):
+        """sub_to_global against a direct port of the reference's numpy
+        stitching (self_play.py:832-854)."""
+        rng = np.random.default_rng(5)
+        subs = rng.random((2, 4, 49)).astype(np.float32)
+        out = np.asarray(sub_to_global(jnp.asarray(subs), 9, 7))
+
+        for b in range(2):
+            sf = [subs[b, i].reshape(7, 7) for i in range(4)]
+            g = np.zeros((9, 9))
+            g[0:5, 0:5] += sf[0][0:5, 0:5]
+            g[0:5, 4:] += sf[1][0:5, 2:]
+            g[4:, 0:5] += sf[2][2:, 0:5]
+            g[4:, 4:] += sf[3][2:, 2:]
+            g[4, :] /= 2
+            g[:, 4] /= 2
+            assert np.allclose(out[b], g, atol=1e-6)
+
+    def test_stitch_constant_field(self):
+        """A constant field stitches back to the same constant everywhere
+        (the overlap-halving must exactly cancel double counting)."""
+        subs = jnp.ones((1, 4, 49))
+        out = np.asarray(sub_to_global(subs, 9, 7))
+        assert np.allclose(out, 1.0)

@@ -1,0 +1,79 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: data-parallel training
+equivalence and the full multichip dry run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transgo_tpu.config import small_test_config
+from transgo_tpu.models import build_network
+from transgo_tpu.parallel import ShardedLearner, make_mesh, replicate
+from transgo_tpu.runtime.learner import Learner
+
+
+def _setup(batch=16):
+    cfg = small_test_config(board_size=5, num_features=8, batch_size=batch)
+    net = build_network(cfg, "main")
+    v = net.init(jax.random.PRNGKey(0))
+    learner = Learner(cfg, net)
+    state = learner.init_state(v)
+    rng = np.random.default_rng(0)
+    batch_data = (
+        rng.integers(0, 2, (batch, 5, 5, 10)).astype(np.float32),
+        np.full((batch, 26), 1 / 26, np.float32),
+        rng.choice([-1.0, 1.0], batch).astype(np.float32),
+        rng.choice([-1.0, 0.0, 1.0], (batch, 25)).astype(np.float32),
+    )
+    return cfg, net, learner, state, batch_data
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_matches_single_device():
+    """psum-averaged sharded grads == full-batch single-device grads.
+
+    BatchNorm uses per-shard statistics under data parallelism, so the
+    comparison uses a batch of 2 unique samples tiled 8x: every shard sees
+    the same 2 samples, making per-shard BN stats equal full-batch stats and
+    the equivalence exact up to float noise.
+    """
+    cfg, net, learner, state, batch = _setup(16)
+    batch = tuple(
+        np.concatenate([x[:2]] * 8, axis=0) for x in batch
+    )
+    single, m1 = jax.jit(learner.train_step)(
+        state, tuple(jnp.asarray(x) for x in batch), cfg.learn_rate
+    )
+
+    mesh = make_mesh((8, 1), ("data", "model"))
+    sharded = ShardedLearner(learner, mesh)
+    state_r = replicate(mesh, state)
+    out, m2 = sharded.train_step(state_r, batch, cfg.learn_rate)
+
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), single.params, out.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+    assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 1e-5
+
+
+@pytest.mark.slow
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (8, 82)

@@ -1,0 +1,167 @@
+"""Runtime tests: replay semantics, learner loss/optimizer, schedule
+functions, ratio controller, and a short end-to-end pipeline run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transgo_tpu.config import Config, small_test_config
+from transgo_tpu.models import build_network
+from transgo_tpu.runtime.learner import Learner
+from transgo_tpu.runtime.replay import PrioritizedReplayBuffer, ReplayBuffer
+
+
+class TestReplay:
+    def _mk(self, cap=32):
+        return ReplayBuffer(cap, 5, 10)
+
+    def _rows(self, k, seed=0):
+        rng = np.random.default_rng(seed)
+        return (
+            rng.random((k, 5, 5, 10), np.float32),
+            rng.random((k, 26), np.float32),
+            rng.random(k).astype(np.float32),
+            rng.random((k, 25)).astype(np.float32),
+        )
+
+    def test_ring_wraps(self):
+        buf = self._mk(8)
+        buf.append_batch(*self._rows(6))
+        assert len(buf) == 6 and not buf.full
+        buf.append_batch(*self._rows(6, 1))
+        assert buf.full and len(buf) == 8 and buf.index == 4
+
+    def test_sample_without_replacement(self):
+        buf = self._mk(32)
+        buf.append_batch(*self._rows(32))
+        rng = np.random.default_rng(0)
+        obs, pi, win, own = buf.sample(16, rng)
+        assert obs.shape == (16, 5, 5, 10)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        buf = self._mk(16)
+        buf.append_batch(*self._rows(10))
+        p = tmp_path / "seg.pkl"
+        assert buf.save_to(p)
+        buf2 = self._mk(16)
+        buf2.load_from(p)
+        assert np.array_equal(buf2.obs, buf.obs)
+        assert buf2.index == buf.index
+
+    def test_per_sampling(self):
+        buf = PrioritizedReplayBuffer(64, 5, 10)
+        buf.append_batch(*self._rows(40))
+        rng = np.random.default_rng(0)
+        obs, pi, win, own, idx = buf.sample(8, rng)
+        assert obs.shape[0] == 8
+        buf.update_priorities(idx, np.full(8, 2.0))
+        assert buf.tree.total() > 40  # raised priorities propagate
+
+
+class TestLearner:
+    def _setup(self):
+        cfg = small_test_config(board_size=5, num_features=16, batch_size=8)
+        net = build_network(cfg, "main")
+        v = net.init(jax.random.PRNGKey(0))
+        learner = Learner(cfg, net)
+        state = learner.init_state(v)
+        rng = np.random.default_rng(0)
+        pi = rng.random((8, 26)).astype(np.float32)
+        pi /= pi.sum(1, keepdims=True)
+        batch = (
+            jnp.asarray(rng.integers(0, 2, (8, 5, 5, 10)).astype(np.float32)),
+            jnp.asarray(pi),
+            jnp.asarray(rng.choice([-1.0, 1.0], 8).astype(np.float32)),
+            jnp.asarray(rng.choice([-1.0, 0.0, 1.0], (8, 25)).astype(np.float32)),
+        )
+        return cfg, learner, state, batch
+
+    def test_loss_decreases(self):
+        cfg, learner, state, batch = self._setup()
+        step = jax.jit(learner.train_step)
+        _, m0 = step(state, batch, 1e-2)
+        for _ in range(30):
+            state, m = step(state, batch, 1e-2)
+        assert float(m["total_loss"]) < float(m0["total_loss"])
+
+    def test_lr_injection(self):
+        cfg, learner, state, batch = self._setup()
+        step = jax.jit(learner.train_step)
+        s1, _ = step(state, batch, 0.0)
+        # lr 0 -> params unchanged (decay is inside the scaled update)
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, s1.params
+        )
+        assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+    def test_metrics_keys(self):
+        cfg, learner, state, batch = self._setup()
+        _, m = jax.jit(learner.train_step)(state, batch, 1e-3)
+        assert set(m) == {
+            "total_loss", "value_loss", "own_loss", "act_policy_loss",
+            "entropy_loss",
+        }
+
+
+class TestSchedules:
+    def test_ad_lr_halves_every_1500(self):
+        cfg = Config()
+        lr = 6.5e-5
+        lr2 = cfg.ad_lr(1499, lr)
+        assert lr2 == lr * 0.5
+        assert cfg.ad_lr(1500, lr) == lr
+        # floor: never below 0.25x initial
+        assert cfg.ad_lr(2999, 0.5 * 0.5 * 6.5e-5) == 0.5 * 0.5 * 6.5e-5
+
+    def test_ratio_ramp(self):
+        cfg = Config()
+        r = cfg.ad_train_play_ratio(5, 0.075)
+        assert abs(r - 0.07501) < 1e-9
+        assert cfg.ad_train_play_ratio(6, 0.075) == 0.075
+        assert cfg.ad_train_play_ratio(5, 0.26) == 0.26
+
+    def test_value_ratio_decay(self):
+        cfg = Config()
+        assert abs(cfg.value_ratio_by_frame(0) - 1.0) < 1e-9
+        assert cfg.value_ratio_by_frame(5000) < 0.02
+
+
+@pytest.mark.slow
+def test_pipeline_end_to_end(tmp_path):
+    """Minimum end-to-end slice (SURVEY.md section 7 stage 4): self-play ->
+    replay -> training -> checkpoint roundtrip on a tiny config."""
+    cfg = small_test_config(
+        board_size=5,
+        max_step=12,
+        num_simulation=8,
+        selfplay_batch=4,
+        num_features=8,
+        batch_size=8,
+        buffer_size=512,
+        train_play_ratio=0.05,
+        evaluate_num=10**9,
+        results_path=str(tmp_path / "results"),
+    )
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    pipe = TrainPipeline(cfg, quiet=True)
+    for _ in range(16):
+        pipe.run_tick()
+    assert pipe.now_play_steps == 16 * 4
+    assert pipe.now_play_games > 0, "no game finished in 16 ticks"
+    assert len(pipe.replay) > 0
+    assert pipe.now_train_steps > 0
+
+    ckpt = tmp_path / "ckpt"
+    pipe.save_checkpoint(str(ckpt))
+    pipe2 = TrainPipeline(cfg, quiet=True)
+    pipe2.load_checkpoint(str(ckpt))
+    assert pipe2.now_train_steps == pipe.now_train_steps
+    assert pipe2.now_play_games == pipe.now_play_games
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        pipe.train_state.params, pipe2.train_state.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0

@@ -1,0 +1,153 @@
+"""Batched-MCTS behavior tests: visit targets, tactics, tree reuse, noise,
+temperature — executable spec of self_play.py's search semantics."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transgo_tpu.config import small_test_config
+from transgo_tpu.ops import BLACK, GoEngine, WHITE
+from transgo_tpu.search import MCTS, SearchMode
+from transgo_tpu.search.tree import promote_subtree
+
+
+@functools.lru_cache(maxsize=None)
+def setup(mode="wp", sims=24):
+    cfg = small_test_config(num_simulation=sims)
+    eng = GoEngine(5, komi=2.5, max_step=30)
+    mcts = MCTS(cfg, eng, SearchMode(mode))
+    A = eng.spec.num_actions
+
+    def eval_fn(obs, to_play):
+        b = obs.shape[0]
+        return jnp.full((b, A), 1.0 / A), jnp.zeros((b,))
+
+    return cfg, eng, mcts, eval_fn
+
+
+@pytest.mark.parametrize("mode", ["classic", "wu", "wp"])
+def test_visit_target_reached(mode):
+    cfg, eng, mcts, eval_fn = setup(mode)
+    tree = mcts.reset_root(mcts.new_tree(3), eval_fn)
+    tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(tree, jax.random.PRNGKey(0))
+    bar = np.arange(3)
+    visits = np.asarray(tree.visit)[bar, np.asarray(tree.root)]
+    assert (visits >= cfg.num_simulation).all()
+
+
+def test_finds_capture():
+    """Search prefers the capturing move in an obvious atari position."""
+    cfg, eng, mcts, eval_fn = setup("wp", 64)
+    # white stone at 6 in atari (black 1, 5, 11 around it); black to move
+    # at 7 captures
+    stones = np.zeros((2, 25), np.int8)
+    for c in [1, 5, 11]:
+        stones[:, c] = BLACK
+    stones[:, 6] = WHITE
+    states = eng.init(2).replace(
+        stones=jnp.asarray(stones),
+        next_player=jnp.full((2,), BLACK, jnp.int8),
+    )
+
+    # value function: favor capturing — use true score as value proxy
+    def score_eval(obs, to_play):
+        b = obs.shape[0]
+        # our-liberty planes: reward more own-stone liberties
+        own3 = obs[..., 2].sum(axis=(1, 2))
+        opp1 = obs[..., 3].sum(axis=(1, 2))
+        val = jnp.tanh(0.25 * (own3 + opp1) - 0.5)
+        A = obs.shape[1] * obs.shape[2] + 1
+        return jnp.full((b, A), 1.0 / A), val
+
+    tree = mcts.reset_root(mcts.new_tree(2), score_eval)
+    tree = tree.replace(
+        states=jax.tree_util.tree_map(
+            lambda x, s: x.at[:, 0].set(s), tree.states, states
+        )
+    )
+    # re-expand root for the injected position
+    tree = tree.replace(expanded=tree.expanded.at[:, 0].set(False))
+    tree = mcts._expand_roots(tree, score_eval, jnp.ones((2,), bool))
+    tree = jax.jit(lambda t, k: mcts.search(t, score_eval, k))(tree, jax.random.PRNGKey(1))
+    counts, pi = mcts.action_statistics(tree)
+    best = np.asarray(counts).argmax(axis=1)
+    assert (best == 7).all(), f"expected capture at 7, got {best}"
+
+
+def test_pi_zeroes_single_visits():
+    # enough simulations that some children exceed one visit
+    cfg, eng, mcts, eval_fn = setup("wp", 96)
+    tree = mcts.reset_root(mcts.new_tree(2), eval_fn)
+    tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(tree, jax.random.PRNGKey(2))
+    counts, pi = mcts.action_statistics(tree)
+    counts = np.asarray(counts)
+    assert (counts != 1).all()  # ones were zeroed (self_play.py:668)
+    assert (counts > 0).any()
+    assert np.allclose(np.asarray(pi).sum(1), 1.0, atol=1e-5)
+
+
+def test_dirichlet_noise_changes_priors():
+    cfg, eng, mcts, eval_fn = setup("wp")
+    tree = mcts.reset_root(mcts.new_tree(2), eval_fn)
+    bar = np.arange(2)
+    before = np.asarray(tree.edge_prior)[bar, np.asarray(tree.root)]
+    tree2 = mcts.root_dirichlet(tree, jax.random.PRNGKey(3))
+    after = np.asarray(tree2.edge_prior)[bar, np.asarray(tree2.root)]
+    legal = np.asarray(tree.legal)[bar, np.asarray(tree.root)]
+    assert not np.allclose(before[legal], after[legal])
+    # noise preserves normalization over legal moves
+    assert np.allclose(after[legal].reshape(2, -1).sum(1), 1.0, atol=1e-4)
+    assert np.allclose(before[~legal], after[~legal])
+
+
+def test_tree_reuse_preserves_subtree():
+    cfg, eng, mcts, eval_fn = setup("wp")
+    tree = mcts.reset_root(mcts.new_tree(2), eval_fn)
+    tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(tree, jax.random.PRNGKey(4))
+    counts, _ = mcts.action_statistics(tree)
+    action = jnp.asarray(np.asarray(counts).argmax(axis=1), jnp.int32)
+    bar = np.arange(2)
+    child = np.asarray(tree.edge_child)[bar, np.asarray(tree.root),
+                                        np.asarray(action)]
+    child_visits = np.asarray(tree.visit)[bar, child]
+    new_tree, done = mcts.advance(tree, action, eval_fn)
+    root_visits = np.asarray(new_tree.visit)[bar, np.asarray(new_tree.root)]
+    assert (root_visits == child_visits).all()
+    assert (np.asarray(new_tree.node_count) <= np.asarray(tree.node_count)).all()
+    # inherited root state equals stepping the old root state
+    from transgo_tpu.search.tree import gather_nodes
+    old_root_states = gather_nodes(tree, tree.root)
+    stepped, _ = eng.step(old_root_states, action)
+    new_root_states = gather_nodes(new_tree, new_tree.root)
+    assert np.array_equal(
+        np.asarray(stepped.stones), np.asarray(new_root_states.stones)
+    )
+
+
+def test_temperature_schedule():
+    from transgo_tpu.config import Config
+
+    cfg = Config()
+    # reference epsilon_by_frame: 1.0 -> 0.65 (configure.py:75-79)
+    assert abs(cfg.epsilon_by_frame(0) - 1.0) < 1e-9
+    assert abs(cfg.epsilon_by_frame(1) - (0.65 + 0.35 * np.exp(-0.1))) < 1e-9
+    assert abs(cfg.epsilon_by_frame(1000) - 0.65) < 1e-6
+
+
+def test_terminal_backup():
+    """Searching a nearly-finished game backs up true outcomes."""
+    cfg, eng, mcts, eval_fn = setup("wp", 16)
+    # a game one pass away from ending; black massively ahead
+    stones = np.zeros((1, 25), np.int8)
+    stones[0, :20] = BLACK
+    states = eng.init(1).replace(
+        stones=jnp.asarray(stones),
+        last_move1=jnp.full((1,), -1, jnp.int16),  # previous move was a pass
+        next_player=jnp.full((1,), WHITE, jnp.int8),
+    )
+    tree = mcts.reset_root(mcts.new_tree(1), eval_fn, states)
+    tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(tree, jax.random.PRNGKey(5))
+    assert int(tree.visit[0, tree.root[0]]) >= cfg.num_simulation

@@ -1,0 +1,172 @@
+"""Command-line entry points: train / curriculum / gtp / elo / smoke.
+
+The reference had no CLI (every entry is an ``if __name__ == '__main__'``
+block, SURVEY.md section 1); this consolidates them:
+
+  python -m transgo_tpu.cli train --seconds 3600 --results results1
+  python -m transgo_tpu.cli scale-bound --seconds 600
+  python -m transgo_tpu.cli scale-live --seconds 600
+  python -m transgo_tpu.cli gtp --checkpoint <dir>
+  python -m transgo_tpu.cli elo --checkpoints a b c --games 60
+  python -m transgo_tpu.cli smoke --games 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_train(args):
+    from transgo_tpu.config import Config
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    cfg = Config(results_path=args.results, seed=args.seed,
+                 selfplay_batch=args.batch)
+    if args.resume:
+        pipe = TrainPipeline(cfg)
+        pipe.load_checkpoint(args.resume)
+    else:
+        pipe = TrainPipeline(cfg)
+    pipe.train(max_seconds=args.seconds)
+    if args.checkpoint:
+        pipe.save_checkpoint(args.checkpoint)
+
+
+def cmd_scale(args, live: bool):
+    from transgo_tpu.curriculum import (
+        build_scale_bound_pipeline,
+        build_scale_live_pipeline,
+    )
+
+    build = build_scale_live_pipeline if live else build_scale_bound_pipeline
+    pipe = build(quiet=False, results_path=args.results, seed=args.seed)
+    pipe.train(max_seconds=args.seconds)
+    if args.checkpoint:
+        pipe.save_checkpoint(args.checkpoint)
+
+
+def cmd_gtp(args):
+    from transgo_tpu.ui.gtp import main as gtp_main
+
+    sys.argv = ["gtp"] + (
+        ["--checkpoint", args.checkpoint] if args.checkpoint else []
+    )
+    gtp_main()
+
+
+def cmd_elo(args):
+    """Round-robin ladder over saved checkpoints -> MLE Elo table
+    (reference elo.py:96-109)."""
+    from pathlib import Path
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from transgo_tpu.config import Config
+    from transgo_tpu.eval.arena import Arena
+    from transgo_tpu.eval.elo import rate_pool
+    from transgo_tpu.models import build_network
+    from transgo_tpu.ops import GoEngine
+    from transgo_tpu.search.mcts import MCTS, SearchMode
+
+    cfg = Config()
+    engine = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+    mcts = MCTS(cfg, engine, SearchMode.WP)
+    net = build_network(cfg, "main")
+    template = net.init(jax.random.PRNGKey(0))
+    checkpointer = ocp.StandardCheckpointer()
+    pool = []
+    for p in args.checkpoints:
+        restored = checkpointer.restore(
+            Path(p).absolute(),
+            {"params": template["params"],
+             "batch_stats": template["batch_stats"]},
+        )
+        pool.append(restored)
+    k = len(pool)
+    wins = np.zeros((k, k))
+    arena = Arena(cfg, mcts, net)
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(k):
+        for j in range(i + 1, k):
+            key, kk = jax.random.split(key)
+            res = arena.play_match(pool[i], pool[j], args.games, kk)
+            wins[i, j] += res.challenger_wins.sum()
+            wins[j, i] += (~res.challenger_wins).sum()
+    elo = rate_pool(wins)
+    for p, e in zip(args.checkpoints, elo):
+        print(f"{p}: {e:+.1f}")
+
+
+def cmd_smoke(args):
+    import jax
+
+    from transgo_tpu.config import Config
+    from transgo_tpu.eval.smoke import evaluate_vs_random
+    from transgo_tpu.models import build_network
+    from transgo_tpu.ops import GoEngine
+    from transgo_tpu.search.mcts import MCTS, SearchMode
+
+    cfg = Config(num_simulation=args.sims)
+    engine = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+    mcts = MCTS(cfg, engine, SearchMode.WP)
+    net = build_network(cfg, "main")
+    variables = net.init(jax.random.PRNGKey(0))
+    res = evaluate_vs_random(
+        cfg, mcts, net, variables, args.games, jax.random.PRNGKey(args.seed)
+    )
+    print(f"model vs random: {res.win_ratio:.2f} "
+          f"({int(res.model_wins.sum())}/{args.games})")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="transgo_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--seconds", type=float, default=3600)
+    t.add_argument("--results", default="./results1")
+    t.add_argument("--batch", type=int, default=64)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--resume", default=None)
+    t.add_argument("--checkpoint", default=None)
+
+    for name in ("scale-bound", "scale-live"):
+        s = sub.add_parser(name)
+        s.add_argument("--seconds", type=float, default=3600)
+        s.add_argument("--results", default=f"./results_{name}")
+        s.add_argument("--seed", type=int, default=0)
+        s.add_argument("--checkpoint", default=None)
+
+    g = sub.add_parser("gtp")
+    g.add_argument("--checkpoint", default=None)
+
+    e = sub.add_parser("elo")
+    e.add_argument("--checkpoints", nargs="+", required=True)
+    e.add_argument("--games", type=int, default=10)
+    e.add_argument("--seed", type=int, default=0)
+
+    m = sub.add_parser("smoke")
+    m.add_argument("--games", type=int, default=10)
+    m.add_argument("--sims", type=int, default=50)
+    m.add_argument("--seed", type=int, default=0)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "scale-bound":
+        cmd_scale(args, live=False)
+    elif args.cmd == "scale-live":
+        cmd_scale(args, live=True)
+    elif args.cmd == "gtp":
+        cmd_gtp(args)
+    elif args.cmd == "elo":
+        cmd_elo(args)
+    elif args.cmd == "smoke":
+        cmd_smoke(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Single source of truth for every tunable in the framework.
+
+Mirrors the reference's hand-edited ``configure.py`` class
+(/root/reference/configure.py:5-103) — same knobs, same defaults, same four
+schedule functions — but as one dataclass consumed by *every* layer (engine,
+nets, search, runtime), eliminating the reference's triple-vendored constants
+that had to agree by hand (reference GoEnv/environment.py:9-12 vs
+go_comm.h:20,29 vs configure.py:9).
+
+TPU-specific additions (batch sizes, tree capacity, mesh shape, dtypes) live
+in the same place; they have no referent in the reference, which parallelized
+with 6 Ray actor processes (reference transgo.py:92-101) instead of a batch
+dimension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # ---------- environment (reference configure.py:9-16) ----------
+    board_size: int = 9
+    local_board_size: int = 7          # 7x7 sub-board for scale transfer
+    encode_state_channels: int = 10    # 9 / 10 / 13 feature planes
+    komi: float = 7.5
+    black: int = 1
+    white: int = 2
+    max_step: int = 120                # hard game-length cutoff
+
+    # ---------- replay buffer (reference configure.py:19-21) ----------
+    buffer_size: int = 1_500_000
+    is_save_buffer: bool = True
+    store_batch: int = 5               # rolling save slots for buffer segments
+    # D4 augmentation policy:
+    #   "sample" (TPU default) — store raw positions, apply a random
+    #            symmetry per sample at train time;
+    #   "eager"  — reference-exact: append 8 pre-rotated copies per position
+    #            (self_play.py:943-965);
+    #   "none"   — raw only (the scale_train recipes append raw,
+    #            scale_train_live/self_play.py:276-277).
+    augment_mode: str = "sample"
+
+    # ---------- self-play (reference configure.py:24-33) ----------
+    game_total_num: float = 1e8
+    play_workers_num: int = 6          # kept for parity; TPU uses game batch
+    c_puct: float = 3.0                # used by classic MCTS / WU_UCT
+    c_puct1: float = 3.0               # WP prior coefficient
+    c_puct2: float = 0.05              # WP variance-bonus coefficient
+    virtual_loss: float = 3.0          # classic-MCTS virtual loss
+    num_simulation: int = 210
+    tanh_norm: float = 0.55            # transfer-value tanh scale
+    wu_loss: int = 2                   # WU-UCT unobserved-sample increment
+    parallel_readouts: int = 4         # leaf-parallel eval batch per tree
+    dirichlet_alpha: float = 0.03      # root noise (reference self_play.py:46)
+    dirichlet_frac: float = 0.25
+    eval_temperature: float = 0.12     # arena temperature (self_play.py:190)
+
+    # ---------- network / training (reference configure.py:36-42) ----------
+    input_dim: int = 10                # == encode_state_channels
+    num_features: int = 128
+    l2_const: float = 1e-4
+    checkpoint_interval: int = 3       # push weights every N train steps
+    adjust_lr: bool = True
+    learn_rate: float = 6.5e-5
+    batch_size: int = 2048
+    adam_b1: float = 0.5               # reference trainer.py:33
+    adam_b2: float = 0.999
+    # loss = value + 0.75*own + 1.15*policy + 0.02*entropy (trainer.py:71)
+    value_loss_weight: float = 1.0
+    own_loss_weight: float = 0.75
+    policy_loss_weight: float = 1.15
+    entropy_loss_weight: float = 0.02
+
+    # ---------- evaluation / gating (reference configure.py:45-46) ----------
+    init_evaluate_score: int = 100
+    evaluate_num: int = 1500           # driver ticks between arena evals
+    evaluate_games: int = 10           # arena games per eval (self_play.py:987)
+
+    # ---------- resume (reference configure.py:50-60) ----------
+    init_model: Optional[str] = None
+    init_buffer: Optional[list] = None
+    init_sub_model: Optional[str] = None
+    load_train_steps: Optional[int] = None
+    load_play_steps: Optional[int] = None
+    load_play_games: Optional[int] = None
+
+    # ---------- throttle (reference configure.py:64-65) ----------
+    train_play_ratio: float = 7500 / 100000
+    adjust_train_play_ratio: bool = True
+
+    # ---------- leaf-eval value shaping (scale_train recipes) ----------
+    # v = (1-b)*v_net + b*tanh(tanh_norm*(sum(own)+komi_signed))
+    # (scale_train_live/self_play.py:176-185; 0.0 disables)
+    value_own_blend: float = 0.0
+    # unvisited children score Q=0 instead of minus the parent's value
+    # (scale_train UCB, scale_train_live/self_play.py:149-156)
+    child_init_zero: bool = False
+
+    # ---------- transfer (reference self_play.py:803, configure.py:82) ----
+    transfer_max_train_steps: int = 3500
+    transfer_policy_temperature: float = 0.45  # self_play.py:823
+    transfer_pass_prob: float = 1e-5           # self_play.py:820
+
+    # ---------- paths ----------
+    results_path: str = "./results1"
+    record_train: str = "train_record.txt"
+
+    # ---------- TPU runtime (no reference equivalent) ----------
+    selfplay_batch: int = 64           # games stepped in lockstep per chip
+    max_nodes: int = 0                 # MCTS tree capacity; 0 = auto
+    tree_reuse: bool = True            # subtree promotion across moves
+    compute_dtype: str = "bfloat16"    # net compute dtype on TPU
+    param_dtype: str = "float32"
+    mesh_shape: Tuple[int, ...] = (1,)           # (data,) — learner/actor mesh
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        self.input_dim = self.encode_state_channels
+        if self.max_nodes == 0:
+            # room for one move's simulations + reused subtree + slack
+            self.max_nodes = 2 * self.num_simulation + 64
+
+    @property
+    def num_actions(self) -> int:
+        return self.board_size * self.board_size + 1
+
+    # ---------- schedule functions (reference configure.py:75-103) ----------
+    def epsilon_by_frame(self, game_step) -> float:
+        """Self-play temperature: decays 1.0 -> 0.65 with game step
+        (reference configure.py:75-79)."""
+        epsilon_start, epsilon_final, epsilon_decay = 1.0, 0.65, 10.0
+        return epsilon_final + (epsilon_start - epsilon_final) * math.exp(
+            -1.0 * game_step / epsilon_decay
+        )
+
+    def value_ratio_by_frame(self, now_train_steps) -> float:
+        """Scale-transfer blend weight gamma: decays 1 -> 0, tau ~= 1200
+        (reference configure.py:82-86)."""
+        start, final, decay = 1.0, 0.0, 1200.0
+        return final + (start - final) * math.exp(-1.0 * now_train_steps / decay)
+
+    def ad_lr(self, now_play_games: int, current_lr: float) -> float:
+        """Halve the LR every 1500 games until the floor
+        (reference configure.py:90-93)."""
+        if (
+            (now_play_games + 1) % 1500 == 0
+            and now_play_games < 3100
+            and current_lr > 0.5 * 0.5 * 6.5e-5
+        ):
+            return current_lr * 0.5
+        return current_lr
+
+    def ad_train_play_ratio(
+        self, now_play_steps: int, current_train_play_ratio: float
+    ) -> float:
+        """Ramp the train:play ratio by 1e-5 every 6 play steps up to 0.26
+        (reference configure.py:97-103)."""
+        if (now_play_steps + 1) % 6 == 0 and current_train_play_ratio < 2.6 / 10:
+            return (current_train_play_ratio * 100000 + 1) / 100000
+        return current_train_play_ratio
+
+
+def small_test_config(**overrides) -> Config:
+    """A tiny configuration for fast CPU tests."""
+    defaults = dict(
+        board_size=5,
+        max_step=30,
+        num_simulation=16,
+        selfplay_batch=4,
+        num_features=16,
+        batch_size=16,
+        buffer_size=4096,
+    )
+    defaults.update(overrides)
+    return Config(**defaults)

@@ -1,0 +1,104 @@
+"""Batched arena matches and the evaluation gate.
+
+Replaces the reference evaluator (SelfPlay.policy_evaluate,
+self_play.py:986-1040): the challenger plays the frozen gate model for
+``evaluate_games`` games with alternating colors, each move searched with a
+fresh root at evaluation temperature 0.12 and no Dirichlet noise
+(select_action, self_play.py:689-703). A clean sweep raises the gate score
+by 100 and freezes the challenger as the new opponent
+(self_play.py:1035-1038).
+
+All games run in lockstep on device; both agents' searches are executed
+batched each move and the mover's action is selected per board.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transgo_tpu.models.nets import TransGoNetwork
+from transgo_tpu.ops.state import BLACK, WHITE, GoState
+from transgo_tpu.search.mcts import MCTS
+
+
+class MatchResult(NamedTuple):
+    challenger_wins: np.ndarray  # bool per game
+    win_ratio: float
+
+
+class Arena:
+    def __init__(self, config, mcts: MCTS, network: TransGoNetwork):
+        self.config = config
+        self.mcts = mcts
+        self.network = network
+        self.engine = mcts.engine
+        self._move_fn = None
+
+    def _eval_fn(self, variables):
+        from transgo_tpu.search.evalfn import make_eval_fn
+
+        return make_eval_fn(
+            self.network, variables, komi=self.config.komi,
+            own_blend=self.config.value_own_blend,
+            tanh_norm=self.config.tanh_norm,
+        )
+
+    def _build_move(self):
+        mcts = self.mcts
+        engine = self.engine
+
+        def one_move(states: GoState, vars_a, vars_b, a_is_mover, key):
+            ka, kb = jax.random.split(key)
+            act_a = mcts.select_action(states, self._eval_fn(vars_a), ka)
+            act_b = mcts.select_action(states, self._eval_fn(vars_b), kb)
+            action = jnp.where(a_is_mover, act_a, act_b)
+            return engine.step(states, action)
+
+        return jax.jit(one_move)
+
+    # ------------------------------------------------------------------
+    def play_match(self, vars_a, vars_b, num_games: int, key,
+                   max_moves: Optional[int] = None) -> MatchResult:
+        """A vs B over ``num_games`` lockstep games; A holds black on
+        even-indexed games (color alternation, self_play.py:1000-1026)."""
+        if self._move_fn is None:
+            self._move_fn = self._build_move()
+        engine = self.engine
+        states = engine.init(num_games)
+        a_black = (jnp.arange(num_games) % 2) == 0
+        max_moves = max_moves or self.config.max_step + 2
+
+        for i in range(max_moves):
+            mover = states.next_player           # [G]
+            a_moves = jnp.where(
+                a_black, mover == BLACK, mover == WHITE
+            )
+            key, k = jax.random.split(key)
+            states, done = self._move_fn(
+                states, vars_a, vars_b, a_moves, k
+            )
+            if bool(jnp.all(done)):
+                break
+
+        winner = engine.winner(states)
+        a_wins = np.asarray(
+            jnp.where(a_black, winner == BLACK, winner == WHITE)
+        )
+        return MatchResult(a_wins, float(a_wins.mean()))
+
+    # ------------------------------------------------------------------
+    def evaluate_gate(self, current_vars, frozen_vars, evaluate_score: int,
+                      key):
+        """The 10-game gate (policy_evaluate): returns
+        (win_ratio, new_score, promote) where promote means the frozen
+        opponent should be replaced by the current model."""
+        res = self.play_match(
+            current_vars, frozen_vars, self.config.evaluate_games, key
+        )
+        promote = res.win_ratio == 1.0
+        new_score = evaluate_score + (100 if promote else 0)
+        return res.win_ratio, new_score, promote

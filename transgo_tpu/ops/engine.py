@@ -1,0 +1,341 @@
+"""The batched Go rules engine: legality, stepping, capture, ko, scoring.
+
+TPU-native re-design of the reference play engine and env facade:
+
+- legality     = FindAllValidMoves (board.cc:467-489) for the whole board at
+                 once: one legal mask per board instead of 81 TryPlay calls;
+- step         = Step_/Play (go_env.cc:51-80, board.cc:546-653): place the
+                 stone, relabel, remove zero-liberty enemy groups — no
+                 incremental block surgery;
+- simple ko    = isGivingSimpleKo/isSimpleKoViolation (board.cc:163-213) with
+                 the reference's exact age semantics (a pass does NOT age the
+                 ko: Play returns before touching ko fields on special moves,
+                 board.cc:554-558);
+- scoring      = Tromp-Taylor by empty-region labeling instead of per-region
+                 BFS (getTTScore, board.cc:822-958);
+- termination  = two consecutive passes, resign, or step_count > max_step
+                 (board.cc:656-661, go_env.cc:67).
+
+All functions take and return batched arrays ([B, ...]); the whole engine is
+jit-compatible with static shapes only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from transgo_tpu.ops.groups import (
+    GroupStats,
+    _pad1,
+    group_labels,
+    group_stats,
+    propagate_min_labels,
+)
+from transgo_tpu.ops.state import (
+    BLACK,
+    EMPTY,
+    INVALID,
+    PASS,
+    RESIGN,
+    WALL,
+    WHITE,
+    BoardSpec,
+    GoState,
+    board_spec,
+    opponent,
+)
+
+DAME = 3  # neutral point ownership (board.h:130)
+
+
+class BoardAnalysis(NamedTuple):
+    """Everything derivable from the stone grid that rules/features need."""
+
+    groups: GroupStats
+    self_lib: jnp.ndarray      # int32[B, n] empty neighbors of each point
+    suicide: jnp.ndarray       # bool[B, n] playing here is suicide for *next_player*
+    legal_board: jnp.ndarray   # bool[B, n] legal board moves for next_player
+
+
+class GoEngine:
+    """Stateless rules engine bound to a static board size / komi / max_step.
+
+    One instance replaces both the C++ ``go_env.so`` and the ctypes ``GoEnv``
+    wrapper (/root/reference/GoEnv/environment.py:32-199). Methods are pure
+    and batched; wrap them in ``jax.jit`` at the call site.
+    """
+
+    def __init__(self, size: int = 9, komi: float = 7.5, max_step: int = 120):
+        self.spec: BoardSpec = board_spec(size)
+        self.size = size
+        self.komi = komi
+        self.max_step = max_step
+
+    # ------------------------------------------------------------------
+    def init(self, batch_size: int) -> GoState:
+        """Fresh empty boards (Reset, go_env.cc:34-41)."""
+        return GoState.new(batch_size, self.size)
+
+    # ------------------------------------------------------------------
+    def analyze(self, state: GoState,
+                player: Optional[jnp.ndarray] = None) -> BoardAnalysis:
+        """Group stats + legality for ``player`` (default: next_player)."""
+        spec = self.spec
+        n = spec.num_points
+        stones = state.stones
+        if player is None:
+            player = state.next_player
+        player = player.astype(jnp.int8)
+        opp = opponent(player)
+
+        g = group_stats(spec, stones)
+        col_pad = _pad1(stones, WALL)
+        nbr_col = col_pad[:, spec.NBR]                       # [B, n, 4]
+        libs_pad = _pad1(g.stone_libs, jnp.int32(0))
+        nbr_libs = libs_pad[:, spec.NBR]                      # [B, n, 4]
+
+        is_empty = stones == EMPTY
+        self_lib = jnp.sum(nbr_col == EMPTY, axis=2).astype(jnp.int32)
+
+        # isSuicideMove (board.cc:130-158): no own liberty, no own neighbor
+        # group with >1 libs, no enemy neighbor group in atari
+        own_gt1 = jnp.any(
+            (nbr_col == player[:, None, None]) & (nbr_libs > 1), axis=2
+        )
+        enemy_eq1 = jnp.any(
+            (nbr_col == opp[:, None, None]) & (nbr_libs == 1), axis=2
+        )
+        suicide = is_empty & (self_lib == 0) & ~own_gt1 & ~enemy_eq1
+
+        # isSimpleKoViolation (board.cc:198-200)
+        coords = jnp.arange(n, dtype=jnp.int32)[None, :]
+        ko_forbidden = (
+            (state.ko_location[:, None] == coords)
+            & (state.ko_age[:, None] == 0)
+            & (state.ko_color[:, None] == player[:, None])
+        )
+        legal_board = is_empty & ~suicide & ~ko_forbidden
+        return BoardAnalysis(g, self_lib, suicide, legal_board)
+
+    # ------------------------------------------------------------------
+    def legal_action_mask(
+        self, state: GoState, analysis: Optional[BoardAnalysis] = None
+    ) -> jnp.ndarray:
+        """bool[B, n+1] search-action mask with the environment's
+        pass-shaping rule: PASS is allowed only when it is the *only* legal
+        move (GoEnv.getLegalAction, environment.py:121-129)."""
+        if analysis is None:
+            analysis = self.analyze(state)
+        any_board = jnp.any(analysis.legal_board, axis=1)
+        return jnp.concatenate(
+            [analysis.legal_board, ~any_board[:, None]], axis=1
+        )
+
+    def legal_action_mask_full(
+        self, state: GoState, analysis: Optional[BoardAnalysis] = None
+    ) -> jnp.ndarray:
+        """bool[B, n+1] with PASS always legal (C-level getLegalAction,
+        go_env.cc:154-171 / checkAction semantics)."""
+        if analysis is None:
+            analysis = self.analyze(state)
+        b = state.stones.shape[0]
+        return jnp.concatenate(
+            [analysis.legal_board, jnp.ones((b, 1), bool)], axis=1
+        )
+
+    # ------------------------------------------------------------------
+    def step(
+        self,
+        state: GoState,
+        action: jnp.ndarray,
+        analysis: Optional[BoardAnalysis] = None,
+    ) -> Tuple[GoState, jnp.ndarray]:
+        """Apply one move per board (Step, go_env.cc:44-80).
+
+        Args:
+          action: int32[B]; ``0..n-1`` board points, ``n`` or ``PASS`` to
+            pass, ``RESIGN`` to resign. An illegal action leaves that board
+            unchanged (the reference prints and skips, go_env.cc:75-78), as
+            does stepping a terminated board (go_env.cc:52-55).
+
+        Returns:
+          (new_state, done): done is the per-board terminated flag.
+        """
+        spec = self.spec
+        n = spec.num_points
+        b = state.stones.shape[0]
+        barange = jnp.arange(b)
+        player = state.next_player
+        opp = opponent(player).astype(jnp.int8)
+
+        action = action.astype(jnp.int32)
+        c = jnp.where(action == n, PASS, action)
+        is_pass = c == PASS
+        is_resign = c == RESIGN
+        special = is_pass | is_resign
+
+        if analysis is None:
+            analysis = self.analyze(state)
+        g = analysis.groups
+
+        cc = jnp.clip(c, 0, n - 1)
+        in_range = (c >= 0) & (c < n)
+        ok_play = in_range & analysis.legal_board[barange, cc]
+        applied = (special | ok_play) & ~state.terminated
+
+        # ---- pre-placement neighbor analysis at cc (ko detection,
+        #      isGivingSimpleKo board.cc:163-194) ----
+        nbr = spec.NBR[cc]                                   # [B, 4]
+        col_pad = _pad1(state.stones, WALL)
+        nbr_col = col_pad[barange[:, None], nbr]             # [B, 4]
+        lbl_pad = _pad1(g.labels, jnp.int32(-1))
+        nbr_lbl = lbl_pad[barange[:, None], nbr]
+        safe_nbr_lbl = jnp.clip(nbr_lbl, 0, n - 1)
+        nbr_grp_libs = g.libs_by_root[barange[:, None], safe_nbr_lbl]
+        nbr_grp_size = g.size_by_root[barange[:, None], safe_nbr_lbl]
+
+        self_lib_c = analysis.self_lib[barange, cc]
+        own_adj = jnp.any(nbr_col == player[:, None], axis=1)
+        ko_grp = (
+            (nbr_col == opp[:, None])
+            & (nbr_grp_libs == 1)
+            & (nbr_grp_size == 1)
+        )
+        ko_cnt = jnp.sum(ko_grp, axis=1)
+        # size-1 group ⇒ the neighbor coord *is* the group (its Block.start)
+        ko_cand = jnp.max(jnp.where(ko_grp, nbr, -1), axis=1).astype(jnp.int16)
+        giving_ko = (self_lib_c == 0) & ~own_adj & (ko_cnt == 1)
+
+        # ---- play the stone and resolve captures ----
+        stones1 = state.stones.at[barange, cc].set(player)
+        g1 = group_stats(spec, stones1)
+        captured = (stones1 == opp[:, None]) & (g1.stone_libs == 0)
+        stones2 = jnp.where(captured, jnp.int8(EMPTY), stones1)
+
+        play_ko_location = jnp.where(giving_ko, ko_cand, state.ko_location)
+        play_ko_color = jnp.where(giving_ko, opp, state.ko_color)
+        play_ko_age = jnp.where(
+            giving_ko, jnp.int16(0), state.ko_age + jnp.int16(1)
+        )
+
+        # ---- merge play / special / rejected branches ----
+        do_play = applied & ~special
+        new_stones = jnp.where(do_play[:, None], stones2, state.stones)
+        new_last2 = jnp.where(applied, state.last_move1, state.last_move2)
+        new_last1 = jnp.where(applied, c.astype(jnp.int16), state.last_move1)
+        new_step = state.step_count + applied.astype(jnp.int16)
+        new_player = jnp.where(applied, opp, player).astype(jnp.int8)
+        new_ko_location = jnp.where(
+            do_play, play_ko_location, state.ko_location
+        )
+        new_ko_color = jnp.where(do_play, play_ko_color, state.ko_color)
+        new_ko_age = jnp.where(do_play, play_ko_age, state.ko_age)
+
+        # termination (board.cc:656-661 + go_env.cc:67 max-step cutoff)
+        done_pass = (
+            applied
+            & (new_last1 == PASS)
+            & (new_last2 == PASS)
+            & (new_step > 1)
+        )
+        done_resign = applied & (new_last1 == RESIGN)
+        done_maxstep = applied & (new_step > self.max_step)
+        new_terminated = state.terminated | done_pass | done_resign | done_maxstep
+
+        new_state = GoState(
+            stones=new_stones,
+            next_player=new_player,
+            step_count=new_step,
+            last_move1=new_last1,
+            last_move2=new_last2,
+            ko_location=new_ko_location,
+            ko_color=new_ko_color,
+            ko_age=new_ko_age,
+            terminated=new_terminated,
+        )
+        return new_state, new_terminated
+
+    # ------------------------------------------------------------------
+    def auto_reset(self, state: GoState) -> GoState:
+        """Replace terminated boards with fresh ones (self-play convenience;
+        no reference equivalent — Ray actors re-called reset_root per game)."""
+        fresh = GoState.new(state.stones.shape[0], self.size)
+        done = state.terminated
+
+        def pick(new, old):
+            d = done.reshape(done.shape + (1,) * (old.ndim - done.ndim))
+            return jnp.where(d, new, old)
+
+        return jax.tree_util.tree_map(pick, fresh, state)
+
+    # ------------------------------------------------------------------
+    def territory(self, state: GoState) -> jnp.ndarray:
+        """int8[B, n] point ownership: BLACK / WHITE / DAME
+        (getTTScore territory output, board.cc:822-958)."""
+        spec = self.spec
+        n = spec.num_points
+        stones = state.stones
+        is_empty = stones == EMPTY
+
+        # label empty regions (connectivity over empty points)
+        col_pad = _pad1(stones, WALL)
+        nbr_col = col_pad[:, spec.NBR]
+        linked = (nbr_col == EMPTY) & is_empty[:, :, None]
+        init = jnp.where(
+            is_empty, jnp.arange(n, dtype=jnp.int32), n
+        )
+        region = propagate_min_labels(spec, linked, init)
+
+        touches_b = is_empty & jnp.any(nbr_col == BLACK, axis=2)
+        touches_w = is_empty & jnp.any(nbr_col == WHITE, axis=2)
+
+        b = stones.shape[0]
+        safe_region = jnp.clip(region, 0, n - 1)
+        reg_b = jnp.zeros((b, n), bool)
+        reg_b = jax.vmap(lambda acc, t, v: acc.at[t].max(v))(
+            reg_b, safe_region, touches_b
+        )
+        reg_w = jnp.zeros((b, n), bool)
+        reg_w = jax.vmap(lambda acc, t, v: acc.at[t].max(v))(
+            reg_w, safe_region, touches_w
+        )
+        rb = jnp.take_along_axis(reg_b, safe_region, axis=1)
+        rw = jnp.take_along_axis(reg_w, safe_region, axis=1)
+
+        empty_owner = jnp.where(
+            rb & ~rw, BLACK, jnp.where(rw & ~rb, WHITE, DAME)
+        ).astype(jnp.int8)
+        return jnp.where(is_empty, empty_owner, stones)
+
+    def raw_score(self, state: GoState) -> jnp.ndarray:
+        """float32[B] Tromp-Taylor score before komi (getTTScore)."""
+        terr = self.territory(state)
+        return (
+            jnp.sum(terr == BLACK, axis=1) - jnp.sum(terr == WHITE, axis=1)
+        ).astype(jnp.float32)
+
+    def score(self, state: GoState) -> jnp.ndarray:
+        """float32[B] black-minus-white score including komi
+        (getScore, go_env.cc:126-130)."""
+        return self.raw_score(state) - self.komi
+
+    def winner(self, state: GoState) -> jnp.ndarray:
+        """int8[B]: BLACK if score > 0 else WHITE
+        (GoEnv.getWinner, environment.py:118-119)."""
+        return jnp.where(self.score(state) > 0, BLACK, WHITE).astype(jnp.int8)
+
+    def score_and_territory(self, state: GoState):
+        """(float32[B] score, float32[B, n] ownership in {1, 0, -1})
+        (getTerritory, go_env.cc:136-149)."""
+        terr = self.territory(state)
+        signed = jnp.where(
+            terr == BLACK, 1.0, jnp.where(terr == WHITE, -1.0, 0.0)
+        ).astype(jnp.float32)
+        score = (
+            jnp.sum(terr == BLACK, axis=1) - jnp.sum(terr == WHITE, axis=1)
+        ).astype(jnp.float32) - self.komi
+        return score, signed

@@ -1,0 +1,250 @@
+"""Batched feature-plane extraction.
+
+Re-implements the reference encoders (board_feature.cc:17-253 ``encode9/10/13``)
+and eye/life analysis (board.cc:665-817) as whole-board tensor ops:
+
+plane layout for ``encode10`` (board_feature.cc:213-223):
+  0-2  own groups with 1 / 2 / >=3 liberties
+  3-5  opponent groups with 1 / 2 / >=3 liberties
+  6    last move (one-hot; zero plane after a pass)
+  7    illegal: own suicide points + active simple-ko point
+  8    own true eyes
+  9    own living groups (two-true-eye heuristic, GivenBlockLives)
+
+Output is NHWC ``[B, H, W, C]`` — the TPU-native layout (channels on the
+128-lane minor dimension) — with an NCHW converter for parity tests against
+the reference's ``[C, H, W]`` (environment.py:105-108).
+
+The reference's known ``getStones`` assignment-as-comparison bug
+(board_feature.cc:48) is *not* replicated; the function is unused by every
+shipped encoder (SURVEY.md do-not-replicate list).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from transgo_tpu.ops.engine import BoardAnalysis, GoEngine
+from transgo_tpu.ops.groups import _pad1
+from transgo_tpu.ops.state import (
+    BLACK,
+    EMPTY,
+    WALL,
+    WHITE,
+    BoardSpec,
+    GoState,
+    opponent,
+)
+
+
+def true_eye_mask(spec: BoardSpec, stones: jnp.ndarray, color: int) -> jnp.ndarray:
+    """bool[B, n]: true eyes of ``color`` (isTrueEye, board.cc:711-714).
+
+    eye      = empty & every on-board neighbor is ``color`` (board.cc:665-682;
+               walls count as own)
+    fake eye = edge/corner eye with >=1 enemy diagonal, or center eye with
+               >=2 enemy diagonals (board.cc:685-708)
+    """
+    col_pad = _pad1(stones, WALL)
+    nbr_col = col_pad[:, spec.NBR]                      # [B, n, 4]
+    is_empty = stones == EMPTY
+
+    eye = is_empty & jnp.all(
+        (nbr_col == color) | (nbr_col == WALL), axis=2
+    )
+
+    diag_col = col_pad[:, spec.DIAG]                    # [B, n, 4]
+    opp = opponent(color)
+    num_opp = jnp.sum(diag_col == opp, axis=2)
+    num_boundary = jnp.sum(~spec.DIAG_OK, axis=1)[None, :]  # static per point
+    fake = ((num_boundary > 0) & (num_opp >= 1)) | (
+        (num_boundary == 0) & (num_opp >= 2)
+    )
+    return eye & ~fake
+
+
+def live_stone_mask(
+    spec: BoardSpec,
+    stones: jnp.ndarray,
+    analysis: BoardAnalysis,
+    color: int,
+) -> jnp.ndarray:
+    """bool[B, n]: stones of ``color`` whose group is alive
+    (GivenBlockLives, board.cc:731-817).
+
+    A group lives iff it has >=2 liberties and >=2 *qualified* candidate
+    eyes, where a candidate eye is a true eye of the group's color adjacent
+    to the group, and it qualifies when every on-board diagonal is either an
+    own-colored stone or another candidate eye of the same group — except
+    that a center eye may concede one diagonal (board.cc:808-809).
+
+    Implemented as dense [B, n(group-root), n(eye)] boolean algebra; for
+    9x9 that is 81x81 bits per board, negligible. (19x19 should switch to
+    compacted group ids — tracked as a perf TODO.)
+    """
+    n = spec.num_points
+    b = stones.shape[0]
+    g = analysis.groups
+    te = true_eye_mask(spec, stones, color)             # [B, n]
+
+    # cand[b, root, e]: true eye e adjacent to a stone of group `root`
+    own = stones == color
+    safe_lbl = jnp.clip(g.labels, 0, n - 1)             # [B, n]
+    te_pad = _pad1(te, False)
+    nbr_is_te = te_pad[:, spec.NBR]                     # [B, n, 4] eye at nbr
+    # scatter: for stone i with root r and neighbor e being a true eye,
+    # set cand[b, r, e]
+    flat_idx = (
+        safe_lbl[:, :, None] * n + jnp.clip(spec.NBR, 0, n - 1)[None, :, :]
+    )                                                    # [B, n, 4]
+    contrib = own[:, :, None] & nbr_is_te & spec.NBR_OK[None, :, :]
+    cand = jnp.zeros((b, n * n), bool)
+    cand = jax.vmap(lambda acc, t, v: acc.at[t].max(v))(
+        cand, flat_idx.reshape(b, -1), contrib.reshape(b, -1)
+    ).reshape(b, n, n)
+
+    # qualify each candidate eye e of group r
+    own_at_diag = (_pad1(own, False))[:, spec.DIAG]     # [B, e, 4]
+    cand_pad = jnp.concatenate(
+        [cand, jnp.zeros((b, n, 1), bool)], axis=2
+    )                                                    # [B, r, n+1]
+    cand_at_diag = cand_pad[:, :, spec.DIAG]            # [B, r, e, 4]
+    territory = (
+        own_at_diag[:, None, :, :] | cand_at_diag
+    ) & spec.DIAG_OK[None, None, :, :]
+    num_terr = jnp.sum(territory, axis=3)               # [B, r, e]
+    num_boundary = jnp.sum(~spec.DIAG_OK, axis=1)[None, None, :]
+    qualified = (
+        ((num_boundary >= 1) & (num_boundary + num_terr == 4))
+        | ((num_boundary == 0) & (num_terr >= 3))
+    ) & cand                                             # [B, r, e]
+
+    libs_ok = g.libs_by_root >= 2                        # [B, r] at roots
+    alive_root = libs_ok & (jnp.sum(qualified, axis=2) >= 2)
+    return own & jnp.take_along_axis(alive_root, safe_lbl, axis=1)
+
+
+class FeatureEncoder:
+    """encode9/10/13 (board_feature.cc:199-253) for a fixed engine/spec."""
+
+    def __init__(self, engine: GoEngine, planes: int = 10):
+        assert planes in (9, 10, 13), planes
+        self.engine = engine
+        self.spec = engine.spec
+        self.planes = planes
+        self.obs_size = engine.spec.size  # spatial side of the observation
+
+    def __call__(
+        self, state: GoState, analysis: Optional[BoardAnalysis] = None
+    ) -> jnp.ndarray:
+        """float32[B, H, W, planes] (NHWC)."""
+        eng, spec = self.engine, self.spec
+        n = spec.num_points
+        if analysis is None:
+            analysis = eng.analyze(state)
+        g = analysis.groups
+        stones = state.stones
+        player = state.next_player
+        opp = opponent(player)
+
+        own = stones == player[:, None]
+        other = stones == opp[:, None]
+        libs = g.stone_libs
+
+        planes = [
+            own & (libs == 1),
+            own & (libs == 2),
+            own & (libs >= 3),
+            other & (libs == 1),
+            other & (libs == 2),
+            other & (libs >= 3),
+        ]
+
+        coords = jnp.arange(n, dtype=jnp.int32)[None, :]
+        last1 = (state.last_move1[:, None] == coords) & (
+            state.last_move1[:, None] >= 0
+        )
+
+        # ko + suicide plane (getSimpleKoAndSuicide, board_feature.cc:69-89)
+        ko_active = (state.ko_age[:, None] == 0) & (
+            state.ko_location[:, None] == coords
+        )
+        ko_suicide = analysis.suicide | ko_active
+
+        te_b = true_eye_mask(spec, stones, BLACK)
+        te_w = true_eye_mask(spec, stones, WHITE)
+        own_te = jnp.where(player[:, None] == BLACK, te_b, te_w)
+
+        if self.planes == 9:
+            planes += [last1, ko_suicide, own_te]
+        elif self.planes == 10:
+            live_b = live_stone_mask(spec, stones, analysis, BLACK)
+            live_w = live_stone_mask(spec, stones, analysis, WHITE)
+            own_live = jnp.where(player[:, None] == BLACK, live_b, live_w)
+            planes += [last1, ko_suicide, own_te, own_live]
+        else:  # 13 (board_feature.cc:238-253)
+            last2 = (state.last_move2[:, None] == coords) & (
+                state.last_move2[:, None] >= 0
+            )
+            opp_te = jnp.where(player[:, None] == BLACK, te_w, te_b)
+            live_b = live_stone_mask(spec, stones, analysis, BLACK)
+            live_w = live_stone_mask(spec, stones, analysis, WHITE)
+            own_live = jnp.where(player[:, None] == BLACK, live_b, live_w)
+            opp_live = jnp.where(player[:, None] == BLACK, live_w, live_b)
+            planes += [last1, last2, ko_suicide, own_te, opp_te, own_live, opp_live]
+
+        feats = jnp.stack(planes, axis=-1).astype(jnp.float32)  # [B, n, C]
+        size = spec.size
+        return feats.reshape(feats.shape[0], size, size, self.planes)
+
+
+def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """Convert to the reference's [B, C, H, W] layout (environment.py:106)."""
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def sub_encode(features_nhwc: jnp.ndarray, sub_size: int = 7,
+               cut_num: int = 4) -> jnp.ndarray:
+    """Cut [B, S, S, C] into overlapping quadrant crops [B, cut, sub, sub, C]
+    (get_sub_encode, board.cc:1166-1270; cut order TL, TR, BL, BR[, center])."""
+    s = features_nhwc.shape[1]
+    iv = s - sub_size
+    crops = [
+        features_nhwc[:, :sub_size, :sub_size, :],
+        features_nhwc[:, :sub_size, iv:, :],
+        features_nhwc[:, iv:, :sub_size, :],
+        features_nhwc[:, iv:, iv:, :],
+    ]
+    if cut_num == 5:
+        t = iv // 2
+        crops.append(features_nhwc[:, t:s - t, t:s - t, :])
+    return jnp.stack(crops, axis=1)
+
+
+def sub_to_global(sub_features: jnp.ndarray, board_size: int = 9,
+                  local_board_size: int = 7) -> jnp.ndarray:
+    """Stitch 4 per-quadrant [sub, sub] maps back to one [S, S] map, halving
+    the overlap seams (WP_MCTS.sub_to_global_encode, self_play.py:832-854).
+
+    Args:
+      sub_features: [B, 4, sub*sub] or [B, 4, sub, sub].
+    Returns:
+      [B, S, S]
+    """
+    s, ls = board_size, local_board_size
+    hi = (s + 1) // 2     # 5 for 9x9
+    lo = (s - 1) // 2     # 4 for 9x9
+    b = sub_features.shape[0]
+    sub = sub_features.reshape(b, 4, ls, ls)
+
+    out = jnp.zeros((b, s, s), sub.dtype)
+    out = out.at[:, :hi, :hi].add(sub[:, 0, :hi, :hi])
+    out = out.at[:, :hi, lo:].add(sub[:, 1, :hi, ls - hi:])
+    out = out.at[:, lo:, :hi].add(sub[:, 2, ls - hi:, :hi])
+    out = out.at[:, lo:, lo:].add(sub[:, 3, ls - hi:, ls - hi:])
+    out = out.at[:, lo, :].mul(0.5)
+    out = out.at[:, :, lo].mul(0.5)
+    return out

@@ -1,0 +1,137 @@
+"""Jitted training step: the reference Trainer's loss and optimizer
+(/root/reference/trainer.py:17-106) as one pure function.
+
+Loss (trainer.py:61-71):
+  value_MSE + 0.75 * own_MSE + 1.15 * policy_CE + 0.02 * entropy_term
+where the "entropy" term is mean(sum(p * log p)) WITHOUT a leading minus —
+i.e. a maximum-entropy regularizer (minimizing -H), kept sign-exact.
+
+Optimizer (trainer.py:33-34): Adam(betas=(0.5, 0.9  99)) with torch-style
+``weight_decay`` — the decay joins the *gradient* before the Adam moments
+(optax.add_decayed_weights before scale_by_adam), matching
+torch.optim.Adam(weight_decay=l2) rather than decoupled AdamW.
+
+The learning rate is injected per-step from host state
+(set_learning_rate, trainer.py:13-15,57) so the ad_lr halving schedule
+(configure.py:90-93) needs no recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from transgo_tpu.models.nets import TransGoNetwork
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 now_train_steps
+
+
+class Learner:
+    def __init__(self, config, network: TransGoNetwork):
+        self.config = config
+        self.network = network
+        cfg = config
+        self.tx = optax.chain(
+            optax.add_decayed_weights(cfg.l2_const),
+            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2),
+            optax.inject_hyperparams(
+                lambda learning_rate: optax.scale(-learning_rate)
+            )(learning_rate=cfg.learn_rate),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, variables) -> TrainState:
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def variables(self, state: TrainState) -> Dict:
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch_stats, batch):
+        obs, pi, win_z, own_z = batch
+        (log_p, value, own), new_stats = self.network.apply_train(
+            {"params": params, "batch_stats": batch_stats}, obs
+        )
+        cfg = self.config
+        value_loss = jnp.mean((value[:, 0] - win_z) ** 2)
+        own_loss = jnp.mean((own - own_z) ** 2)
+        # policy CE: -mean(sum(pi * log p)) (trainer.py:65)
+        policy_loss = -jnp.mean(jnp.sum(pi * log_p, axis=1))
+        # max-entropy regularizer: +mean(sum(p log p)) (trainer.py:69)
+        p = jnp.exp(log_p)
+        entropy_loss = jnp.mean(jnp.sum(p * log_p, axis=1))
+        total = (
+            cfg.value_loss_weight * value_loss
+            + cfg.own_loss_weight * own_loss
+            + cfg.policy_loss_weight * policy_loss
+            + cfg.entropy_loss_weight * entropy_loss
+        )
+        metrics = {
+            "total_loss": total,
+            "value_loss": value_loss,
+            "own_loss": own_loss,
+            "act_policy_loss": policy_loss,
+            "entropy_loss": entropy_loss,
+        }
+        return total, (new_stats, metrics)
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch, learning_rate):
+        """One SGD step. Pure: jit (or shard_map) at the call site."""
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        opt_state = self._set_lr(state.opt_state, learning_rate)
+        updates, opt_state = self.tx.update(
+            grads, opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, new_stats, opt_state, state.step + 1),
+            metrics,
+        )
+
+    @staticmethod
+    def _set_lr(opt_state, learning_rate):
+        inner = opt_state[2]
+        hp = dict(inner.hyperparams)
+        hp["learning_rate"] = jnp.asarray(learning_rate, jnp.float32)
+        inner = inner._replace(hyperparams=hp)
+        return opt_state[:2] + (inner,)
+
+    # ------------------------------------------------------------------
+    def grads_psum_train_step(self, state: TrainState, batch, learning_rate,
+                              axis_name: str = "data"):
+        """Data-parallel step body for shard_map: per-shard grads are
+        psum-averaged over the mesh axis before the update (the TPU-native
+        replacement for the vestigial torch DataParallel, SURVEY.md 2.3)."""
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        grads = jax.lax.pmean(grads, axis_name)
+        new_stats = jax.lax.pmean(new_stats, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        opt_state = self._set_lr(state.opt_state, learning_rate)
+        updates, opt_state = self.tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, new_stats, opt_state, state.step + 1),
+            metrics,
+        )

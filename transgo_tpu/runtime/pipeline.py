@@ -1,0 +1,324 @@
+"""The training pipeline: one host loop, one device program.
+
+Replaces the reference's Ray pipeline (TrainPipeline, transgo.py:26-250 +
+SharedStorage, shared_storage.py:6-43) where 6 self-play actors, a trainer
+and an evaluator raced each other through RPC-polled throttles. Here
+self-play and training interleave *deterministically* in one loop:
+
+  per tick:  B games advance one move  ->  play_steps += B
+             finished games -> labeled -> replay (host ring)
+             while train_steps / play_steps < ratio: one train step
+
+which is exactly the fixed point the reference's two sleeping throttle loops
+(self_play.py:970-980, trainer.py:94-105) converge to, minus the RPC churn.
+
+The SharedStorage "embedded controllers" become explicit host state:
+- LR halving every 1500 games (ad_lr, configure.py:90-93; applied on game
+  completion as shared_storage.py:33-35 did);
+- train:play ratio ramp +1e-5 per 6 play steps up to 0.26
+  (ad_train_play_ratio, configure.py:97-103; applied per play step as
+  shared_storage.py:38-43 did);
+- arena gating every ``evaluate_num`` ticks with +100 score on a sweep
+  (transgo.py:165-187, self_play.py:1035-1038).
+
+Checkpointing unifies the reference's three pickle artifacts (model dict,
+replay segments, hand-restored counters — SURVEY.md section 5) into one
+orbax checkpoint carrying params, optimizer state, frozen gate params AND
+the exact counter/ratio state, plus the reference-compatible segmented
+replay pickles.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transgo_tpu.config import Config
+from transgo_tpu.eval.arena import Arena
+from transgo_tpu.models.nets import TransGoNetwork
+from transgo_tpu.ops.engine import GoEngine
+from transgo_tpu.ops.symmetry import all_symmetries, random_symmetry_batch
+from transgo_tpu.runtime.actor import SelfPlayActor
+from transgo_tpu.runtime.learner import Learner, TrainState
+from transgo_tpu.runtime.replay import ReplayBuffer
+from transgo_tpu.search.mcts import MCTS, SearchMode
+from transgo_tpu.utils.metrics import MetricLogger
+
+
+class TrainPipeline:
+    def __init__(self, config: Config, mode: SearchMode = SearchMode.WP,
+                 net_kind: str = "main", engine=None, encoder=None,
+                 quiet: bool = False):
+        """net_kind/engine/encoder let the curriculum recipes reuse this
+        pipeline: scale_bound passes net_kind='mini' on a 7x7 config;
+        scale_live passes a LiveWindowEngine + LiveWindowEncoder
+        (SURVEY.md 2.2 — the reference instead vendors two full stacks)."""
+        self.config = config
+        cfg = config
+        self.engine = engine or GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+        self.mcts = MCTS(cfg, self.engine, mode, encoder=encoder)
+        self.network = TransGoNetwork(cfg, net_kind)
+        self.actor = SelfPlayActor(cfg, self.mcts, self.network)
+        self.learner = Learner(cfg, self.network)
+        self.arena = Arena(cfg, self.mcts, self.network)
+        self.replay = ReplayBuffer(
+            cfg.buffer_size, self.actor.obs_size, cfg.encode_state_channels,
+            num_actions=self.actor.num_actions, own_dim=self.actor.own_dim,
+        )
+        self.logger = MetricLogger(cfg.results_path, cfg.record_train,
+                                   quiet=quiet)
+        self.rng = np.random.default_rng(cfg.seed)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        kinit, kactor, self._key = jax.random.split(key, 3)
+        variables = self.network.init(kinit)
+        self.train_state: TrainState = self.learner.init_state(variables)
+        self.frozen_vars = self.learner.variables(self.train_state)
+
+        # counters (reference checkpoint schema, transgo.py:44-64)
+        self.now_play_steps = cfg.load_play_steps or 0
+        self.now_play_games = cfg.load_play_games or 0
+        self.now_train_steps = cfg.load_train_steps or 0
+        self.learn_rate = cfg.learn_rate
+        self.train_play_ratio = cfg.train_play_ratio
+        self.evaluate_score = cfg.init_evaluate_score
+        self.tick = 0
+
+        # jitted entry points
+        self._jit_play = jax.jit(self.actor.play_move)
+        self._jit_drain = jax.jit(self.actor.drain_chunk,
+                                  static_argnums=())
+        self._jit_reset = jax.jit(self.actor.reset_done)
+        self._jit_train = jax.jit(self._train_step)
+
+        self.actor_state = self.actor.init_state(
+            self.learner.variables(self.train_state), kactor
+        )
+
+    # ------------------------------------------------------------------
+    def _train_step(self, state: TrainState, batch, lr, key):
+        if self.config.augment_mode == "sample":
+            obs, pi, win, own = batch
+            obs, pi, own = random_symmetry_batch(
+                key, obs, pi, own, self.actor.obs_size
+            )
+            batch = (obs, pi, win, own)
+        return self.learner.train_step(state, batch, lr)
+
+    # ------------------------------------------------------------------
+    def _append_games(self, chunk, count: int):
+        """Host-side replay append of up to ``count`` drained games."""
+        obs = np.asarray(chunk.obs, np.float32)
+        pi = np.asarray(chunk.pi)
+        win = np.asarray(chunk.win_z)
+        own = np.asarray(chunk.own_z)
+        length = np.asarray(chunk.length)
+        for g in range(min(count, obs.shape[0])):
+            k = int(length[g])
+            if k <= 0:
+                continue
+            if self.config.augment_mode == "eager":
+                # reference-exact eager 8x augmentation
+                # (self_play.py:943-965)
+                size = self.actor.obs_size
+                o8, p8, w8 = [], [], []
+                for t in range(k):
+                    chw = np.moveaxis(obs[g, t], -1, 0)
+                    oo, pp, ww = all_symmetries(
+                        jnp.asarray(chw), jnp.asarray(pi[g, t]),
+                        jnp.asarray(own[g, t]), size,
+                    )
+                    o8.append(np.moveaxis(np.asarray(oo), 1, -1))
+                    p8.append(np.asarray(pp))
+                    w8.append(np.asarray(ww))
+                o8 = np.concatenate(o8)
+                self.replay.append_batch(
+                    o8, np.concatenate(p8),
+                    np.repeat(win[g, :k], 8), np.concatenate(w8),
+                )
+            else:  # "sample" or "none": store raw positions
+                self.replay.append_batch(
+                    obs[g, :k], pi[g, :k], win[g, :k], own[g, :k]
+                )
+
+    # ------------------------------------------------------------------
+    def run_tick(self):
+        """One pipeline tick: B moves of self-play + catch-up training."""
+        cfg = self.config
+        variables = self.learner.variables(self.train_state)
+        self.actor_state, out = self._jit_play(self.actor_state, variables)
+        b = cfg.selfplay_batch
+        prev_steps = self.now_play_steps
+        self.now_play_steps += b
+        # ratio ramp, applied per play step (shared_storage.py:38-43)
+        crossings = (self.now_play_steps + 1) // 6 - (prev_steps + 1) // 6
+        if cfg.adjust_train_play_ratio and crossings > 0:
+            self.train_play_ratio = min(
+                2.6 / 10, self.train_play_ratio + crossings * 1e-5
+            )
+
+        done = np.asarray(out.done)
+        n_done = int(done.sum())
+        if n_done:
+            for off in range(0, n_done, self.actor.drain_size):
+                chunk = self._jit_drain(
+                    self.actor_state, out, jnp.int32(off)
+                )
+                self._append_games(chunk, n_done - off)
+            # LR halving per game (shared_storage.py:33-35)
+            for _ in range(n_done):
+                if cfg.adjust_lr:
+                    self.learn_rate = cfg.ad_lr(
+                        self.now_play_games, self.learn_rate
+                    )
+                self.now_play_games += 1
+            self.actor_state = self._jit_reset(
+                self.actor_state, variables, out.done
+            )
+
+        # catch-up training (the deterministic version of the two throttle
+        # loops)
+        metrics = {}
+        if self.now_play_games >= 1:
+            while (
+                self.now_train_steps / max(1, self.now_play_steps)
+                < self.train_play_ratio
+            ):
+                batch_np = self.replay.sample(cfg.batch_size, self.rng)
+                self._key, k = jax.random.split(self._key)
+                self.train_state, metrics = self._jit_train(
+                    self.train_state,
+                    tuple(jnp.asarray(x) for x in batch_np),
+                    self.learn_rate, k,
+                )
+                self.now_train_steps += 1
+        self.tick += 1
+        return metrics
+
+    # ------------------------------------------------------------------
+    def maybe_evaluate(self) -> Optional[float]:
+        """Arena gate every ``evaluate_num`` ticks (transgo.py:165-187)."""
+        cfg = self.config
+        if self.tick == 0 or self.tick % cfg.evaluate_num != 0:
+            return None
+        self._key, k = jax.random.split(self._key)
+        current = self.learner.variables(self.train_state)
+        ratio, score, promote = self.arena.evaluate_gate(
+            current, self.frozen_vars, self.evaluate_score, k
+        )
+        self.evaluate_score = score
+        if promote:
+            self.frozen_vars = jax.tree_util.tree_map(
+                lambda x: x, current
+            )
+        self.logger.console(
+            f"[eval] tick={self.tick} win_ratio={ratio:.2f} "
+            f"score={self.evaluate_score}"
+        )
+        return ratio
+
+    # ------------------------------------------------------------------
+    def train(self, max_ticks: int = 10**9,
+              max_seconds: float = float("inf"),
+              log_every: int = 20):
+        """The driver loop (reference train()+logging_loop,
+        transgo.py:66-211)."""
+        t0 = time.time()
+        last = {}
+        while self.tick < max_ticks and time.time() - t0 < max_seconds:
+            m = self.run_tick()
+            last = m or last
+            self.maybe_evaluate()
+            if self.tick % log_every == 0:
+                sps = self.now_play_steps / max(1e-9, time.time() - t0)
+                scal = {
+                    "now_play_steps": self.now_play_steps,
+                    "now_play_games": self.now_play_games,
+                    "now_train_steps": self.now_train_steps,
+                    "learn_rate": self.learn_rate,
+                    "train_play_ratio": self.train_play_ratio,
+                    "play_steps_per_s": sps,
+                }
+                scal.update({k: float(v) for k, v in last.items()})
+                self.logger.log(self.tick, scal)
+                self.logger.console(
+                    f"tick={self.tick} games={self.now_play_games} "
+                    f"play={self.now_play_steps} train={self.now_train_steps} "
+                    f"loss={float(last.get('total_loss', float('nan'))):.4f} "
+                    f"({sps:.1f} moves/s)"
+                )
+        return last
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (orbax; unifies transgo.py:171-208 artifacts)
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        path = Path(path).absolute()
+        ckpt = {
+            "params": self.train_state.params,
+            "batch_stats": self.train_state.batch_stats,
+            "opt_state": self.train_state.opt_state,
+            "frozen_vars": self.frozen_vars,
+            "counters": {
+                "now_play_steps": self.now_play_steps,
+                "now_play_games": self.now_play_games,
+                "now_train_steps": self.now_train_steps,
+                "learn_rate": self.learn_rate,
+                "train_play_ratio": self.train_play_ratio,
+                "evaluate_score": self.evaluate_score,
+                "tick": self.tick,
+            },
+        }
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path, ckpt, force=True)
+        checkpointer.wait_until_finished()
+        # reference-compatible segmented replay persistence
+        if self.config.is_save_buffer:
+            seg_path = Path(self.config.results_path)
+            seg_path.mkdir(parents=True, exist_ok=True)
+            slot = (self.tick // max(1, self.config.evaluate_num)) % (
+                self.config.store_batch
+            )
+            self.replay.save_to(seg_path / f"replay_buffer{slot}.pkl")
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        path = Path(path).absolute()
+        checkpointer = ocp.StandardCheckpointer()
+        template = {
+            "params": self.train_state.params,
+            "batch_stats": self.train_state.batch_stats,
+            "opt_state": self.train_state.opt_state,
+            "frozen_vars": self.frozen_vars,
+            "counters": {
+                "now_play_steps": 0, "now_play_games": 0,
+                "now_train_steps": 0, "learn_rate": 0.0,
+                "train_play_ratio": 0.0, "evaluate_score": 0, "tick": 0,
+            },
+        }
+        ckpt = checkpointer.restore(path, template)
+        self.train_state = TrainState(
+            params=ckpt["params"],
+            batch_stats=ckpt["batch_stats"],
+            opt_state=ckpt["opt_state"],
+            step=jnp.asarray(ckpt["counters"]["now_train_steps"], jnp.int32),
+        )
+        self.frozen_vars = ckpt["frozen_vars"]
+        c = ckpt["counters"]
+        self.now_play_steps = int(c["now_play_steps"])
+        self.now_play_games = int(c["now_play_games"])
+        self.now_train_steps = int(c["now_train_steps"])
+        self.learn_rate = float(c["learn_rate"])
+        self.train_play_ratio = float(c["train_play_ratio"])
+        self.evaluate_score = int(c["evaluate_score"])
+        self.tick = int(c["tick"])
+        if self.config.init_buffer:
+            for p in self.config.init_buffer:
+                self.replay.load_from(p)

@@ -1,0 +1,203 @@
+"""Array-based search-tree storage with subtree promotion.
+
+The reference represents trees as Python object graphs (``Node_M``/``Node_V``,
+self_play.py:12-95) and walks them per-simulation on the host — the UCB child
+loop is its CPU hot spot (SURVEY.md section 3.2). Here a tree is a struct of
+fixed-shape arrays with a leading batch dimension: B independent games each
+own M node slots, and every tree operation (selection, expansion, backup,
+re-rooting) is a batched gather/scatter that XLA compiles onto the TPU.
+
+Node statistics cover all three reference node types:
+``visit``/``value_sum`` (Node_M, self_play.py:12-48), ``ons`` for WU-UCT
+incomplete updates (self_play.py:21), ``value_mean``/``value_var`` Welford
+tracking for WP-MCTS (Node_V, self_play.py:84-88). Children live on edges:
+``edge_prior``/``edge_child`` replace each node's ``children`` dict, and
+``init_value`` implements the reference's child-Q initialisation to minus the
+parent's evaluated value (self_play.py:29-36, 271).
+
+Tree reuse across moves (``update_with_action``, self_play.py:857-872)
+becomes :func:`promote_subtree`: mark the chosen child's subtree via
+pointer-jumping reachability, then compact it to the front of the arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from transgo_tpu.ops.state import GoState
+
+NULL = -1  # no child / no parent sentinel
+
+
+@struct.dataclass
+class Tree:
+    # per-node statistics [B, M]
+    visit: jnp.ndarray        # int32 total_visit_count
+    value_sum: jnp.ndarray    # float32
+    ons: jnp.ndarray          # float32 WU-UCT unobserved samples
+    value_mean: jnp.ndarray   # float32 (WP)
+    value_var: jnp.ndarray    # float32 (WP)
+    init_value: jnp.ndarray   # float32 child value_sum seed (-eval value)
+    expanded: jnp.ndarray     # bool  real_expanded
+    terminal: jnp.ndarray     # bool  node state is game-over
+    terminal_value: jnp.ndarray  # float32 true outcome from node player's view
+    parent: jnp.ndarray       # int32 [B, M]
+    parent_action: jnp.ndarray  # int32 [B, M]
+    # per-edge [B, M, A]
+    edge_prior: jnp.ndarray   # float32
+    edge_child: jnp.ndarray   # int32 node index or NULL
+    legal: jnp.ndarray        # bool legal actions at the node
+    # embedded env states, batch shape [B, M]
+    states: GoState
+    # bookkeeping [B]
+    node_count: jnp.ndarray   # int32 allocation pointer
+    root: jnp.ndarray         # int32 root node index
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self.edge_prior.shape  # (B, M, A)
+
+
+def init_tree(batch: int, max_nodes: int, num_actions: int,
+              board_size: int) -> Tree:
+    b, m, a = batch, max_nodes, num_actions
+    return Tree(
+        visit=jnp.zeros((b, m), jnp.int32),
+        value_sum=jnp.zeros((b, m), jnp.float32),
+        ons=jnp.zeros((b, m), jnp.float32),
+        value_mean=jnp.zeros((b, m), jnp.float32),
+        value_var=jnp.zeros((b, m), jnp.float32),
+        init_value=jnp.zeros((b, m), jnp.float32),
+        expanded=jnp.zeros((b, m), bool),
+        terminal=jnp.zeros((b, m), bool),
+        terminal_value=jnp.zeros((b, m), jnp.float32),
+        parent=jnp.full((b, m), NULL, jnp.int32),
+        parent_action=jnp.full((b, m), NULL, jnp.int32),
+        edge_prior=jnp.zeros((b, m, a), jnp.float32),
+        edge_child=jnp.full((b, m, a), NULL, jnp.int32),
+        legal=jnp.zeros((b, m, a), bool),
+        states=GoState.new((b, m), board_size),
+        node_count=jnp.zeros((b,), jnp.int32),
+        root=jnp.zeros((b,), jnp.int32),
+    )
+
+
+def gather_nodes(tree: Tree, idx: jnp.ndarray) -> GoState:
+    """Pull one env state per board: idx int32[B] -> GoState[B, ...]."""
+    b = idx.shape[0]
+    bar = jnp.arange(b)
+    return jax.tree_util.tree_map(lambda x: x[bar, idx], tree.states)
+
+
+def write_node_states(tree: Tree, idx: jnp.ndarray, states: GoState,
+                      mask: jnp.ndarray) -> Tree:
+    """Write per-board env states into node slots where mask holds."""
+    b = idx.shape[0]
+    bar = jnp.arange(b)
+
+    def upd(dst, src):
+        cur = dst[bar, idx]
+        m = mask.reshape(mask.shape + (1,) * (src.ndim - mask.ndim))
+        return dst.at[bar, idx].set(jnp.where(m, src, cur))
+
+    return tree.replace(
+        states=jax.tree_util.tree_map(upd, tree.states, states)
+    )
+
+
+def subtree_mask(tree: Tree, new_root: jnp.ndarray) -> jnp.ndarray:
+    """bool[B, M]: nodes whose ancestor chain reaches ``new_root``.
+
+    Pointer-jumping on parent links: O(log M) gathers instead of a
+    per-node walk.
+    """
+    b, m, _ = tree.shape
+    bar = jnp.arange(b)[:, None]
+    idx = jnp.arange(m)[None, :]
+    alive = idx < tree.node_count[:, None]
+
+    inside = (idx == new_root[:, None]) & alive
+    # parent of unallocated/root slots -> self loop at NULL; clamp for gather
+    p = jnp.where(tree.parent >= 0, tree.parent, idx)
+    hops = max(1, (m - 1).bit_length())
+    for _ in range(hops):
+        inside = inside | jnp.take_along_axis(inside, p, axis=1)
+        p = jnp.take_along_axis(p, p, axis=1)
+    return inside & alive
+
+
+def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
+    """Re-root each board's tree at ``edge_child[root, action]`` and compact.
+
+    Boards whose chosen child was never allocated get an empty tree
+    (node_count == 0); the caller must then allocate + expand a fresh root
+    (reference update_with_action's unexpanded-child branch,
+    self_play.py:861-871).
+    """
+    b, m, a = tree.shape
+    bar = jnp.arange(b)
+    child = tree.edge_child[bar, tree.root, action]          # [B]
+    has_child = child >= 0
+    safe_child = jnp.where(has_child, child, 0)
+
+    keep = subtree_mask(tree, safe_child) & has_child[:, None]
+    # dense renumbering: kept nodes pack to the front, order preserved
+    new_idx = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1   # [B, M]
+    new_idx = jnp.where(keep, new_idx, NULL)
+    new_count = keep.sum(axis=1).astype(jnp.int32)
+
+    # scatter-position per old node (into slot new_idx); use a gather-based
+    # permutation instead: for each new slot j, which old node lands there?
+    # old_of_new[j] = index of the j-th kept node
+    order = jnp.argsort(
+        jnp.where(keep, new_idx, m + jnp.arange(m)[None, :]), axis=1
+    )                                                         # [B, M]
+
+    def take(x):
+        if x.ndim == 2:
+            return jnp.take_along_axis(x, order, axis=1)
+        extra = x.shape[2:]
+        o = order.reshape(order.shape + (1,) * len(extra))
+        return jnp.take_along_axis(x, jnp.broadcast_to(o, x.shape), axis=1)
+
+    remap_pad = jnp.concatenate(
+        [new_idx, jnp.full((b, 1), NULL, jnp.int32)], axis=1
+    )
+
+    def remap(ptr):  # old node index -> new node index, NULL passthrough
+        safe = jnp.where(ptr >= 0, ptr, m)
+        if ptr.ndim == 2:
+            return jnp.take_along_axis(remap_pad, safe, axis=1)
+        flat = safe.reshape(b, -1)
+        out = jnp.take_along_axis(remap_pad, flat, axis=1)
+        return out.reshape(ptr.shape)
+
+    new_tree = Tree(
+        visit=take(tree.visit),
+        value_sum=take(tree.value_sum),
+        ons=take(tree.ons),
+        value_mean=take(tree.value_mean),
+        value_var=take(tree.value_var),
+        init_value=take(tree.init_value),
+        expanded=take(tree.expanded) & (jnp.arange(m)[None, :] < new_count[:, None]),
+        terminal=take(tree.terminal),
+        terminal_value=take(tree.terminal_value),
+        parent=remap(take(tree.parent)),
+        parent_action=take(tree.parent_action),
+        edge_prior=take(tree.edge_prior),
+        edge_child=remap(take(tree.edge_child)),
+        legal=take(tree.legal),
+        states=jax.tree_util.tree_map(take, tree.states),
+        node_count=new_count,
+        root=jnp.zeros((b,), jnp.int32),
+    )
+    # new root has no parent
+    new_tree = new_tree.replace(
+        parent=new_tree.parent.at[:, 0].set(NULL),
+        parent_action=new_tree.parent_action.at[:, 0].set(NULL),
+    )
+    return new_tree
