@@ -192,11 +192,8 @@ class GoEngine:
         nbr = spec.NBR[cc]                                   # [B, 4]
         col_pad = _pad1(state.stones, WALL)
         nbr_col = col_pad[barange[:, None], nbr]             # [B, 4]
-        lbl_pad = _pad1(g.labels, jnp.int32(-1))
-        nbr_lbl = lbl_pad[barange[:, None], nbr]
-        safe_nbr_lbl = jnp.clip(nbr_lbl, 0, n - 1)
-        nbr_grp_libs = g.libs_by_root[barange[:, None], safe_nbr_lbl]
-        nbr_grp_size = g.size_by_root[barange[:, None], safe_nbr_lbl]
+        nbr_grp_libs = _pad1(g.stone_libs, jnp.int32(0))[barange[:, None], nbr]
+        nbr_grp_size = _pad1(g.stone_size, jnp.int32(0))[barange[:, None], nbr]
 
         self_lib_c = analysis.self_lib[barange, cc]
         own_adj = jnp.any(nbr_col == player[:, None], axis=1)
@@ -277,34 +274,25 @@ class GoEngine:
         """int8[B, n] point ownership: BLACK / WHITE / DAME
         (getTTScore territory output, board.cc:822-958)."""
         spec = self.spec
-        n = spec.num_points
         stones = state.stones
         is_empty = stones == EMPTY
 
-        # label empty regions (connectivity over empty points)
-        col_pad = _pad1(stones, WALL)
-        nbr_col = col_pad[:, spec.NBR]
-        linked = (nbr_col == EMPTY) & is_empty[:, :, None]
-        init = jnp.where(
-            is_empty, jnp.arange(n, dtype=jnp.int32), n
-        )
-        region = propagate_min_labels(spec, linked, init)
+        # empty-region reachability on the MXU, then one more matmul to see
+        # which stone colors the region touches
+        from transgo_tpu.ops.groups import reachability
 
-        touches_b = is_empty & jnp.any(nbr_col == BLACK, axis=2)
-        touches_w = is_empty & jnp.any(nbr_col == WHITE, axis=2)
-
-        b = stones.shape[0]
-        safe_region = jnp.clip(region, 0, n - 1)
-        reg_b = jnp.zeros((b, n), bool)
-        reg_b = jax.vmap(lambda acc, t, v: acc.at[t].max(v))(
-            reg_b, safe_region, touches_b
+        linked = (
+            is_empty[:, :, None] & is_empty[:, None, :] & (spec.ADJ[None] > 0)
         )
-        reg_w = jnp.zeros((b, n), bool)
-        reg_w = jax.vmap(lambda acc, t, v: acc.at[t].max(v))(
-            reg_w, safe_region, touches_w
-        )
-        rb = jnp.take_along_axis(reg_b, safe_region, axis=1)
-        rw = jnp.take_along_axis(reg_w, safe_region, axis=1)
+        reach = reachability(spec, linked)                # [B, n, n]
+        reach = reach & is_empty[:, :, None]
+        m = jnp.matmul(
+            reach.astype(jnp.float32), spec.ADJ[None],
+            preferred_element_type=jnp.float32,
+        )                                                 # region-adjacency
+        border = m > 0.5
+        rb = jnp.any(border & (stones == BLACK)[:, None, :], axis=2)
+        rw = jnp.any(border & (stones == WHITE)[:, None, :], axis=2)
 
         empty_owner = jnp.where(
             rb & ~rw, BLACK, jnp.where(rw & ~rb, WHITE, DAME)

@@ -81,50 +81,42 @@ def live_stone_mask(
     own-colored stone or another candidate eye of the same group — except
     that a center eye may concede one diagonal (board.cc:808-809).
 
-    Implemented as dense [B, n(group-root), n(eye)] boolean algebra; for
-    9x9 that is 81x81 bits per board, negligible. (19x19 should switch to
-    compacted group ids — tracked as a perf TODO.)
+    Uses the group-reachability matrix from the MXU connectivity pass:
+    ``cand[i, e] = true_eye[e] & group-of-i adjacent to e`` is one matmul,
+    and qualification is dense [B, n, n, 4] boolean algebra — no scatters,
+    no root indirection.
     """
     n = spec.num_points
     b = stones.shape[0]
     g = analysis.groups
     te = true_eye_mask(spec, stones, color)             # [B, n]
-
-    # cand[b, root, e]: true eye e adjacent to a stone of group `root`
     own = stones == color
-    safe_lbl = jnp.clip(g.labels, 0, n - 1)             # [B, n]
-    te_pad = _pad1(te, False)
-    nbr_is_te = te_pad[:, spec.NBR]                     # [B, n, 4] eye at nbr
-    # scatter: for stone i with root r and neighbor e being a true eye,
-    # set cand[b, r, e]
-    flat_idx = (
-        safe_lbl[:, :, None] * n + jnp.clip(spec.NBR, 0, n - 1)[None, :, :]
-    )                                                    # [B, n, 4]
-    contrib = own[:, :, None] & nbr_is_te & spec.NBR_OK[None, :, :]
-    cand = jnp.zeros((b, n * n), bool)
-    cand = jax.vmap(lambda acc, t, v: acc.at[t].max(v))(
-        cand, flat_idx.reshape(b, -1), contrib.reshape(b, -1)
-    ).reshape(b, n, n)
 
-    # qualify each candidate eye e of group r
+    # cand[b, i, e]: e is a true eye of `color` adjacent to i's group
+    m = jnp.matmul(
+        g.reach.astype(jnp.float32), spec.ADJ[None],
+        preferred_element_type=jnp.float32,
+    )
+    cand = (m > 0.5) & te[:, None, :] & own[:, :, None]  # [B, i, e]
+
+    # qualify each candidate eye e of i's group
     own_at_diag = (_pad1(own, False))[:, spec.DIAG]     # [B, e, 4]
     cand_pad = jnp.concatenate(
         [cand, jnp.zeros((b, n, 1), bool)], axis=2
-    )                                                    # [B, r, n+1]
-    cand_at_diag = cand_pad[:, :, spec.DIAG]            # [B, r, e, 4]
+    )                                                    # [B, i, n+1]
+    cand_at_diag = cand_pad[:, :, spec.DIAG]            # [B, i, e, 4]
     territory = (
         own_at_diag[:, None, :, :] | cand_at_diag
     ) & spec.DIAG_OK[None, None, :, :]
-    num_terr = jnp.sum(territory, axis=3)               # [B, r, e]
+    num_terr = jnp.sum(territory, axis=3)               # [B, i, e]
     num_boundary = jnp.sum(~spec.DIAG_OK, axis=1)[None, None, :]
     qualified = (
         ((num_boundary >= 1) & (num_boundary + num_terr == 4))
         | ((num_boundary == 0) & (num_terr >= 3))
-    ) & cand                                             # [B, r, e]
+    ) & cand                                             # [B, i, e]
 
-    libs_ok = g.libs_by_root >= 2                        # [B, r] at roots
-    alive_root = libs_ok & (jnp.sum(qualified, axis=2) >= 2)
-    return own & jnp.take_along_axis(alive_root, safe_lbl, axis=1)
+    alive = (g.stone_libs >= 2) & (jnp.sum(qualified, axis=2) >= 2)
+    return own & alive
 
 
 class FeatureEncoder:

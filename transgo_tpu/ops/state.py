@@ -88,6 +88,21 @@ class BoardSpec:
         self.DIAG_OK = jnp.asarray(diag_ok)
         self.NUM_NBRS = jnp.asarray(nbr_ok.sum(1).astype(np.int32))  # [n]
 
+        # dense adjacency for the MXU connectivity path: ADJ[i, j] = 1 iff
+        # j is a 4-neighbor of i. Board connectivity then becomes batched
+        # n x n matmuls (boolean reachability by repeated squaring), which
+        # the systolic array executes orders of magnitude faster than
+        # per-point gather loops.
+        adj = np.zeros((n, n), dtype=np.float32)
+        for c in range(n):
+            for d in range(4):
+                if nbr_ok[c, d]:
+                    adj[c, nbr[c, d]] = 1.0
+        self.ADJ = jnp.asarray(adj)                       # [n, n] float32
+        # number of squarings covering any in-board path: reach doubles per
+        # squaring and starts at 1 hop
+        self.REACH_ROUNDS = max(1, int(np.ceil(np.log2(max(2, n - 1)))))
+
     def __repr__(self):  # pragma: no cover
         return f"BoardSpec(size={self.size})"
 
