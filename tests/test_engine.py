@@ -387,3 +387,28 @@ class TestAutoReset:
         fresh = eng.auto_reset(s)
         assert not bool(fresh.terminated[0])
         assert np.asarray(fresh.stones).sum() == 0
+
+
+class TestParityUtilities:
+    def test_fast_score(self):
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        stones = np.zeros((1, 25), np.int8)
+        # black corner eye at 0 (stones 1,5,6) + white stone at 24
+        for c in [1, 5, 6]:
+            stones[0, c] = BLACK
+        stones[0, 24] = WHITE
+        s = eng.init(1).replace(stones=jnp.asarray(stones))
+        # black: 3 stones + 1 true eye; white: 1 stone, no eyes -> 3
+        assert float(eng.fast_score(s)[0]) == 3.0
+
+    def test_legal_no_eye_excludes_own_true_eye(self):
+        eng = GoEngine(5, komi=0.0, max_step=40)
+        stones = np.zeros((1, 25), np.int8)
+        for c in [1, 5, 6]:
+            stones[0, c] = BLACK
+        s = eng.init(1).replace(stones=jnp.asarray(stones))  # black to move
+        mask = np.asarray(eng.legal_no_eye_mask(s))[0]
+        assert not mask[0]          # own true eye excluded
+        assert mask[25]             # pass always included (go_env.cc:186)
+        legal = np.asarray(eng.legal_action_mask_full(s))[0]
+        assert legal[0]             # ...but the eye is still *legal*

@@ -14,7 +14,11 @@ block, SURVEY.md section 1); this consolidates them:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/transgo_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def cmd_train(args):

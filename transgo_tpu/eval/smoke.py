@@ -20,18 +20,10 @@ from transgo_tpu.search.mcts import MCTS
 
 
 def random_bot_actions(engine, states: GoState, key) -> jnp.ndarray:
-    """Uniform random legal move with true eyes excluded, pass when none
-    (RandomBot.get_action over getLegalNoEye, test_trans.py:17-23)."""
-    from transgo_tpu.ops.features import true_eye_mask
-
-    analysis = engine.analyze(states)
-    player = states.next_player
-    te_b = true_eye_mask(engine.spec, states.stones, BLACK)
-    te_w = true_eye_mask(engine.spec, states.stones, WHITE)
-    own_eye = jnp.where(player[:, None] == BLACK, te_b, te_w)
-    candidate = analysis.legal_board & ~own_eye
-    any_c = jnp.any(candidate, axis=1)
-    mask = jnp.concatenate([candidate, ~any_c[:, None]], axis=1)
+    """Uniform random over legal-no-own-eye moves + pass (RandomBot over
+    getLegalNoEye, test_trans.py:17-23 — the C API always appends PASS,
+    go_env.cc:186, so the reference bot may pass at any time)."""
+    mask = engine.legal_no_eye_mask(states)
     logits = jnp.where(mask, 0.0, -jnp.inf)
     return jax.random.categorical(key, logits, axis=1).astype(jnp.int32)
 

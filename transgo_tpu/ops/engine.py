@@ -33,7 +33,6 @@ from transgo_tpu.ops.groups import (
     _pad1,
     group_labels,
     group_stats,
-    propagate_min_labels,
 )
 from transgo_tpu.ops.state import (
     BLACK,
@@ -315,6 +314,37 @@ class GoEngine:
         """int8[B]: BLACK if score > 0 else WHITE
         (GoEnv.getWinner, environment.py:118-119)."""
         return jnp.where(self.score(state) > 0, BLACK, WHITE).astype(jnp.int8)
+
+    def fast_score(self, state: GoState) -> jnp.ndarray:
+        """float32[B] heuristic score: stones + own true eyes, no region
+        fill (getFastScore, board.cc:962-983; unofficial, reference-parity
+        utility)."""
+        from transgo_tpu.ops.features import true_eye_mask
+
+        stones = state.stones
+        te_b = true_eye_mask(self.spec, stones, BLACK)
+        te_w = true_eye_mask(self.spec, stones, WHITE)
+        black = jnp.sum(stones == BLACK, axis=1) + jnp.sum(te_b, axis=1)
+        white = jnp.sum(stones == WHITE, axis=1) + jnp.sum(te_w, axis=1)
+        return (black - white).astype(jnp.float32)
+
+    def legal_no_eye_mask(
+        self, state: GoState, analysis: Optional[BoardAnalysis] = None
+    ) -> jnp.ndarray:
+        """bool[B, n+1] candidate moves: legal, excluding the mover's own
+        true eyes; PASS always included (FindAllCandidateMoves +
+        getLegalNoEye, board.cc:492-517, go_env.cc:178-188)."""
+        from transgo_tpu.ops.features import true_eye_mask
+
+        if analysis is None:
+            analysis = self.analyze(state)
+        player = state.next_player
+        te_b = true_eye_mask(self.spec, state.stones, BLACK)
+        te_w = true_eye_mask(self.spec, state.stones, WHITE)
+        own_eye = jnp.where(player[:, None] == BLACK, te_b, te_w)
+        candidate = analysis.legal_board & ~own_eye
+        b = state.stones.shape[0]
+        return jnp.concatenate([candidate, jnp.ones((b, 1), bool)], axis=1)
 
     def score_and_territory(self, state: GoState):
         """(float32[B] score, float32[B, n] ownership in {1, 0, -1})

@@ -138,10 +138,22 @@ class SelfPlayActor:
         tree, done = self.mcts.advance(res.tree, res.action, eval_fn)
         move_count = state.move_count + 1
 
-        # label finished games (self_play.py:929-940)
+        # label finished games (self_play.py:929-940); the scoring flood
+        # fill only runs on ticks where at least one game ended
         final_states = gather_nodes(tree, tree.root)
-        winner = self.engine.winner(final_states)              # [B]
-        _, territory = self.engine.score_and_territory(final_states)
+
+        def label(_):
+            winner = self.engine.winner(final_states)          # [B]
+            _, territory = self.engine.score_and_territory(final_states)
+            return winner, territory
+
+        def skip(_):
+            return (
+                jnp.zeros((b,), jnp.int8),
+                jnp.zeros((b, self.own_dim), jnp.float32),
+            )
+
+        winner, territory = jax.lax.cond(jnp.any(done), label, skip, None)
         t_idx = jnp.arange(self.max_moves)[None, :]
         played = t_idx < move_count[:, None]
         win_z = jnp.where(

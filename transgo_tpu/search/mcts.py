@@ -512,34 +512,39 @@ class MCTS:
     def run_round(self, tree: Tree, eval_fn: EvalFn, key,
                   active: jnp.ndarray) -> Tree:
         """One run(): L descents -> one batched eval -> L completions
-        (self_play.py:607-654)."""
+        (self_play.py:607-654). The descents/completions are lax.scans so
+        the compiled program carries ONE descent body instead of L unrolled
+        copies — a large compile-time win for the search program."""
         b = tree.shape[0]
-        leaves, needs = [], []
-        for i in range(self.readouts):
+
+        def descend_body(tree, i):
             tree, leaf, need = self._descend(
                 tree, jax.random.fold_in(key, i), active
             )
-            leaves.append(leaf)
-            needs.append(need)
+            return tree, (leaf, need)
 
-        leaf_idx = jnp.stack(leaves, axis=1)       # [B, L]
-        need_mx = jnp.stack(needs, axis=1)         # [B, L]
+        tree, (leaf_t, need_t) = jax.lax.scan(
+            descend_body, tree, jnp.arange(self.readouts)
+        )                                           # leaf_t/need_t: [L, B]
 
         # batched evaluation of all leaves across all boards
-        flat_leaf = leaf_idx.reshape(-1)
-        rep = jnp.repeat(jnp.arange(b), self.readouts)
+        flat_leaf = leaf_t.reshape(-1)              # L-major
+        rep = jnp.tile(jnp.arange(b), self.readouts)
         flat_states = jax.tree_util.tree_map(
             lambda x: x[rep, flat_leaf], tree.states
         )
         obs = self.encoder(flat_states)
         policy, value = eval_fn(obs, flat_states.next_player)
-        policy = policy.reshape(b, self.readouts, -1)
-        value = value.reshape(b, self.readouts)
+        policy_t = policy.reshape(self.readouts, b, -1)
+        value_t = value.reshape(self.readouts, b)
 
-        for i in range(self.readouts):
-            tree = self._complete(
-                tree, leaf_idx[:, i], need_mx[:, i], policy[:, i], value[:, i]
-            )
+        def complete_body(tree, x):
+            leaf, need, pol, val = x
+            return self._complete(tree, leaf, need, pol, val), None
+
+        tree, _ = jax.lax.scan(
+            complete_body, tree, (leaf_t, need_t, policy_t, value_t)
+        )
         return tree
 
     # ------------------------------------------------------------------
