@@ -129,6 +129,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--size", type=int, default=9,
+                    help="board size (19 = BASELINE config #5 env)")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 
@@ -142,7 +144,7 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"sub-bench failed: {e}", file=sys.stderr)
 
-    eps = bench_env_steps(args.batch, args.iters)
+    eps = bench_env_steps(args.batch, args.iters, args.size)
     print(json.dumps({
         "metric": "env_steps_per_s_per_chip",
         "value": round(eps, 1),

@@ -112,6 +112,10 @@ class Config:
     # ---------- TPU runtime (no reference equivalent) ----------
     selfplay_batch: int = 64           # games stepped in lockstep per chip
     max_nodes: int = 0                 # MCTS tree capacity; 0 = auto
+    # static bound on recorded search-path depth. Backup/incomplete scatters
+    # scale with it, so keep it tight; a deeper descent falls back to a
+    # no-op round (bounded by the search's max_rounds guard). 0 = max_step.
+    search_max_depth: int = 48
     tree_reuse: bool = True            # subtree promotion across moves
     compute_dtype: str = "bfloat16"    # net compute dtype on TPU
     param_dtype: str = "float32"

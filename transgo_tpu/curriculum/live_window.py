@@ -113,7 +113,7 @@ class LiveWindowEngine:
         any_local = jnp.any(local_board, axis=1)
         return jnp.concatenate([local_board, ~any_local[:, None]], axis=1)
 
-    def step(self, state: GoState, local_action, analysis=None):
+    def _to_global_action(self, local_action):
         n_local = self.local * self.local
         la = jnp.clip(local_action, 0, n_local)
         is_pass = (local_action == n_local) | (local_action < 0)
@@ -122,8 +122,18 @@ class LiveWindowEngine:
             is_pass, self.base.spec.num_points, g
         ).astype(jnp.int32)
         # preserve resign passthrough
-        action = jnp.where(local_action == -2, -2, action)
-        return self.base.step(state, action, analysis)
+        return jnp.where(local_action == -2, -2, action)
+
+    def step(self, state: GoState, local_action, analysis=None):
+        return self.base.step(state, self._to_global_action(local_action),
+                              analysis)
+
+    def step_trusted(self, state: GoState, local_action, stone_libs,
+                     stone_size):
+        return self.base.step_trusted(
+            state, self._to_global_action(local_action), stone_libs,
+            stone_size,
+        )
 
     def winner(self, state: GoState):
         return self.base.winner(state)

@@ -185,16 +185,60 @@ class GoEngine:
         in_range = (c >= 0) & (c < n)
         ok_play = in_range & analysis.legal_board[barange, cc]
         applied = (special | ok_play) & ~state.terminated
+        return self._apply_move(
+            state, c, applied, special,
+            g.stone_libs.astype(jnp.int32), g.stone_size.astype(jnp.int32),
+        )
+
+    def step_trusted(
+        self,
+        state: GoState,
+        action: jnp.ndarray,
+        stone_libs: jnp.ndarray,
+        stone_size: jnp.ndarray,
+    ) -> Tuple[GoState, jnp.ndarray]:
+        """Apply pre-validated moves using cached per-stone group stats.
+
+        The search only proposes actions from a node's stored legal mask, so
+        re-deriving legality (a full board analysis) per step is wasted work;
+        this variant trusts the caller and takes the pre-move position's
+        per-stone liberties/sizes (needed only for ko detection) as inputs.
+        Still guards terminated boards and occupied points.
+        """
+        n = self.spec.num_points
+        b = state.stones.shape[0]
+        barange = jnp.arange(b)
+        action = action.astype(jnp.int32)
+        c = jnp.where(action == n, PASS, action)
+        special = (c == PASS) | (c == RESIGN)
+        cc = jnp.clip(c, 0, n - 1)
+        in_range = (c >= 0) & (c < n)
+        empty_at = state.stones[barange, cc] == EMPTY
+        applied = (special | (in_range & empty_at)) & ~state.terminated
+        return self._apply_move(
+            state, c, applied, special,
+            stone_libs.astype(jnp.int32), stone_size.astype(jnp.int32),
+        )
+
+    def _apply_move(self, state, c, applied, special, stone_libs, stone_size):
+        """Shared move executor (Play, board.cc:546-653)."""
+        spec = self.spec
+        n = spec.num_points
+        b = state.stones.shape[0]
+        barange = jnp.arange(b)
+        player = state.next_player
+        opp = opponent(player).astype(jnp.int8)
+        cc = jnp.clip(c, 0, n - 1)
 
         # ---- pre-placement neighbor analysis at cc (ko detection,
         #      isGivingSimpleKo board.cc:163-194) ----
         nbr = spec.NBR[cc]                                   # [B, 4]
         col_pad = _pad1(state.stones, WALL)
         nbr_col = col_pad[barange[:, None], nbr]             # [B, 4]
-        nbr_grp_libs = _pad1(g.stone_libs, jnp.int32(0))[barange[:, None], nbr]
-        nbr_grp_size = _pad1(g.stone_size, jnp.int32(0))[barange[:, None], nbr]
+        nbr_grp_libs = _pad1(stone_libs, jnp.int32(0))[barange[:, None], nbr]
+        nbr_grp_size = _pad1(stone_size, jnp.int32(0))[barange[:, None], nbr]
 
-        self_lib_c = analysis.self_lib[barange, cc]
+        self_lib_c = jnp.sum(nbr_col == EMPTY, axis=1).astype(jnp.int32)
         own_adj = jnp.any(nbr_col == player[:, None], axis=1)
         ko_grp = (
             (nbr_col == opp[:, None])

@@ -62,6 +62,11 @@ from transgo_tpu.ops.features import FeatureEncoder
 from transgo_tpu.ops.state import GoState
 from transgo_tpu.search.tree import (
     NULL,
+    ONS,
+    VISIT,
+    VMEAN,
+    VSUM,
+    VVAR,
     Tree,
     gather_nodes,
     init_tree,
@@ -162,6 +167,18 @@ class MCTS:
             legal=tree.legal.at[bar, root].set(
                 jnp.where(dm, legal, tree.legal[bar, root])
             ),
+            node_libs=tree.node_libs.at[bar, root].set(
+                jnp.where(
+                    dm, analysis.groups.stone_libs.astype(jnp.int16),
+                    tree.node_libs[bar, root],
+                )
+            ),
+            node_size=tree.node_size.at[bar, root].set(
+                jnp.where(
+                    dm, analysis.groups.stone_size.astype(jnp.int16),
+                    tree.node_size[bar, root],
+                )
+            ),
             init_value=tree.init_value.at[bar, root].set(
                 jnp.where(
                     do,
@@ -185,13 +202,13 @@ class MCTS:
         child = tree.edge_child[bar, node]                  # [B, A]
         exists = child >= 0
         safe = jnp.where(exists, child, 0)
-        cv = jnp.where(exists, tree.visit[bar[:, None], safe], 0)
+        st = tree.stats[bar[:, None], safe]               # [B, A, 5]
+        cv = jnp.where(exists, st[..., VISIT], 0.0)
         cvs = jnp.where(
-            exists, tree.value_sum[bar[:, None], safe],
-            tree.init_value[bar, node][:, None],
+            exists, st[..., VSUM], tree.init_value[bar, node][:, None]
         )
-        cons = jnp.where(exists, tree.ons[bar[:, None], safe], 0.0)
-        cvar = jnp.where(exists, tree.value_var[bar[:, None], safe], 0.0)
+        cons = jnp.where(exists, st[..., ONS], 0.0)
+        cvar = jnp.where(exists, st[..., VVAR], 0.0)
         return child, exists, cv, cvs, cons, cvar
 
     def _ucb(self, tree: Tree, node: jnp.ndarray) -> jnp.ndarray:
@@ -201,9 +218,10 @@ class MCTS:
         _, _, cv, cvs, cons, cvar = self._child_stats(tree, node)
         prior = tree.edge_prior[bar, node]
         legal = tree.legal[bar, node]
-        pv = tree.visit[bar, node].astype(jnp.float32)[:, None]
-        pons = tree.ons[bar, node][:, None]
-        q = cvs / (cv.astype(jnp.float32) + 1.0)            # child value()
+        pst = tree.stats[bar, node]                         # [B, 5]
+        pv = pst[:, VISIT][:, None]
+        pons = pst[:, ONS][:, None]
+        q = cvs / (cv + 1.0)                                # child value()
 
         if self.mode == SearchMode.CLASSIC:
             # self_play.py:469-473
@@ -238,124 +256,97 @@ class MCTS:
         ).astype(jnp.int32)
 
     # ------------------------------------------------------------------
-    def _walk_update(self, tree: Tree, leaf: jnp.ndarray, active: jnp.ndarray,
-                     d_visit: int, d_value, d_ons, welford: bool) -> Tree:
-        """Apply an update along the parent chain from ``leaf`` to root
-        (backpropagate / incomplete_update / reverts, self_play.py:758-774).
+    # Path-based updates: the descent records the visited node chain, so
+    # every backup/incomplete/revert is ONE gather + ONE scatter over the
+    # [B, D] path matrix instead of a depth-long while_loop of tiny scatter
+    # kernels (the reference's per-node Python walks, self_play.py:758-774).
+    # Path nodes are unique within a row (it's a tree path), so
+    # gather-compute-scatter is exact.
 
-        d_value is either a scalar-per-board increment applied with
-        alternating sign starting at the leaf (backup), or a constant
-        (virtual loss) when ``alternate`` is encoded by passing d_ons only.
-        """
-        b = leaf.shape[0]
-        bar = jnp.arange(b)
+    def _backup(self, tree: Tree, path: jnp.ndarray, leaf_pos: jnp.ndarray,
+                value, active) -> Tree:
+        """Backpropagate ``value`` (leaf's perspective) along ``path``
+        (backpropagate, self_play.py:758-764), with Welford variance updates
+        in WP mode (Node_V.value_mean_var, self_play.py:84-88)."""
+        b, d = path.shape
+        m = tree.stats.shape[1]
+        bar = jnp.arange(b)[:, None]
+        valid = (path >= 0) & active[:, None]
+        safe = jnp.clip(path, 0, m - 1)               # for gathers
+        # scatters route invalid slots out of bounds, where XLA drops them —
+        # clipping would collide with node 0 (usually the root)
+        scat = jnp.where(valid, path, m)
+        t = jnp.arange(d)[None, :]
+        sign = jnp.where((leaf_pos[:, None] - t) % 2 == 0, 1.0, -1.0)
+        if not isinstance(value, jnp.ndarray):
+            value = jnp.full((b,), value, jnp.float32)
+        dv = sign * value[:, None]                    # node-local signed value
 
-        def cond(carry):
-            _, cur, _, _ = carry
-            return jnp.any(cur >= 0)
-
-        def body(carry):
-            tree, cur, val, act = carry
-            on = act & (cur >= 0)
-            safe = jnp.where(on, cur, 0)
-            tree = tree.replace(
-                visit=tree.visit.at[bar, safe].add(
-                    jnp.where(on, d_visit, 0)
-                ),
-                value_sum=tree.value_sum.at[bar, safe].add(
-                    jnp.where(on, val, 0.0)
-                ),
-                ons=tree.ons.at[bar, safe].add(jnp.where(on, d_ons, 0.0)),
-            )
-            if welford:
-                # Node_V.value_mean_var (self_play.py:84-88), applied after
-                # visit/value_sum were bumped
-                t = tree.value_mean[bar, safe]
-                new_mean = tree.value_sum[bar, safe] / (
-                    tree.visit[bar, safe].astype(jnp.float32) + 1.0
-                )
-                new_var = tree.value_var[bar, safe] + (val - t) * (
-                    val - new_mean
-                )
-                tree = tree.replace(
-                    value_mean=tree.value_mean.at[bar, safe].set(
-                        jnp.where(on, new_mean, tree.value_mean[bar, safe])
-                    ),
-                    value_var=tree.value_var.at[bar, safe].set(
-                        jnp.where(on, new_var, tree.value_var[bar, safe])
-                    ),
-                )
-            nxt = jnp.where(on, tree.parent[bar, safe], -1)
-            return tree, nxt, -val, act
-
-        val0 = d_value if isinstance(d_value, jnp.ndarray) else jnp.full(
-            (b,), d_value, jnp.float32
+        st = tree.stats[bar, safe]                    # [B, D, 5] one gather
+        vis_new = st[..., VISIT] + 1.0
+        vs_new = st[..., VSUM] + dv
+        if self.mode == SearchMode.WP:
+            mean_new = vs_new / (vis_new + 1.0)
+            var_new = st[..., VVAR] + (dv - st[..., VMEAN]) * (dv - mean_new)
+        else:
+            mean_new = st[..., VMEAN]
+            var_new = st[..., VVAR]
+        new_st = jnp.stack(
+            [vis_new, vs_new, st[..., ONS], mean_new, var_new], axis=-1
         )
-        cur0 = jnp.where(active, leaf, -1)
-        tree, _, _, _ = jax.lax.while_loop(
-            cond, body, (tree, cur0, val0, active)
-        )
-        return tree
-
-    def _backup(self, tree: Tree, leaf, value, active) -> Tree:
-        return self._walk_update(
-            tree, leaf, active, d_visit=1, d_value=value, d_ons=0.0,
-            welford=self.mode == SearchMode.WP,
+        return tree.replace(
+            stats=tree.stats.at[bar, scat].set(new_st, mode="drop")
         )
 
-    def _incomplete(self, tree: Tree, leaf, active, sign: float) -> Tree:
+    def _incomplete(self, tree: Tree, path: jnp.ndarray, active,
+                    sign: float) -> Tree:
         """In-flight path marking: classic adds a (non-alternating) virtual
         loss to value_sum (self_play.py:514-532); WU/WP bump ``ons``
         (self_play.py:767-774)."""
-        if self.mode == SearchMode.CLASSIC:
-            return self._vl_walk(tree, leaf, active, sign)
-        return self._walk_update(
-            tree, leaf, active, d_visit=0, d_value=0.0,
-            d_ons=sign * self.wu_loss, welford=False,
+        b, d = path.shape
+        m = tree.stats.shape[1]
+        bar = jnp.arange(b)[:, None]
+        valid = (path >= 0) & active[:, None]
+        scat = jnp.where(valid, path, m)              # OOB slots are dropped
+        lane = VSUM if self.mode == SearchMode.CLASSIC else ONS
+        delta = (
+            sign * self.virtual_loss
+            if self.mode == SearchMode.CLASSIC
+            else sign * self.wu_loss
         )
-
-    def _vl_walk(self, tree: Tree, leaf, active, sign: float) -> Tree:
-        """Non-alternating virtual loss on value_sum (self_play.py:514-532)."""
-        b = leaf.shape[0]
-        bar = jnp.arange(b)
-        delta = sign * self.virtual_loss
-
-        def cond(carry):
-            _, cur = carry
-            return jnp.any(cur >= 0)
-
-        def body(carry):
-            tree, cur = carry
-            on = cur >= 0
-            safe = jnp.where(on, cur, 0)
-            tree = tree.replace(
-                value_sum=tree.value_sum.at[bar, safe].add(
-                    jnp.where(on, delta, 0.0)
-                )
-            )
-            return tree, jnp.where(on, tree.parent[bar, safe], -1)
-
-        tree, _ = jax.lax.while_loop(
-            cond, body, (tree, jnp.where(active, leaf, -1))
+        return tree.replace(
+            stats=tree.stats.at[bar, scat, lane].add(delta, mode="drop")
         )
-        return tree
 
     # ------------------------------------------------------------------
+    @property
+    def max_depth(self) -> int:
+        """Static bound on recorded path length. A path can never outlive
+        the game (max_step), and Config.search_max_depth tightens it further
+        because the path-scatter cost is proportional to the bound."""
+        d = int(getattr(self.config, "search_max_depth", 0)) or (
+            int(self.config.max_step) + 2
+        )
+        return min(d, int(self.config.max_step) + 2)
+
     def _descend(self, tree: Tree, key, active: jnp.ndarray):
         """One leaf selection per board.
 
-        Returns (tree, leaf_idx[B], needs_eval[B]) with terminal leaves
-        already backed up and incomplete updates applied to eval leaves.
+        Returns (tree, leaf_idx[B], needs_eval[B], path[B, D], leaf_pos[B],
+        obs[B, h, w, C]) with terminal leaves already backed up and
+        incomplete updates applied to eval leaves.
         """
         b, m, a = tree.shape
         bar = jnp.arange(b)
+        dmax = self.max_depth
 
         def cond(carry):
-            _, _, moving, _ = carry
-            return jnp.any(moving)
+            _, depth, moving, _, _ = carry
+            return jnp.any(moving) & (depth < dmax - 1)
 
         def body(carry):
-            cur, depth, moving, (sel_p, sel_a, sel_c) = carry
+            cur, depth, moving, (sel_p, sel_a, sel_c), path = carry
+            path = path.at[:, depth].set(jnp.where(moving, cur, NULL))
             k = jax.random.fold_in(key, depth)
             act = self._select_child(tree, cur, k)
             child = tree.edge_child[bar, cur, act]
@@ -368,7 +359,7 @@ class MCTS:
             sel_a = jnp.where(stop, act, sel_a)
             sel_c = jnp.where(stop, child, sel_c)
             cur = jnp.where(go, child, cur)
-            return cur, depth + 1, go, (sel_p, sel_a, sel_c)
+            return cur, depth + 1, go, (sel_p, sel_a, sel_c), path
 
         init = (
             tree.root,
@@ -379,12 +370,28 @@ class MCTS:
                 jnp.zeros((b,), jnp.int32),
                 jnp.full((b,), NULL, jnp.int32),
             ),
+            jnp.full((b, dmax), NULL, jnp.int32),
         )
-        _, _, _, (par, act, existing) = jax.lax.while_loop(cond, body, init)
+        _, _, still_moving, (par, act, existing), path = jax.lax.while_loop(
+            cond, body, init
+        )
+        # boards whose descent exceeded the static depth bound sit this
+        # round out (no selection was made for them); the search loop's
+        # max_rounds guard keeps the move bounded regardless
+        active = active & ~still_moving
+        # walk length per board = number of recorded nodes; the leaf slots
+        # in right after
+        leaf_pos = jnp.sum(path >= 0, axis=1).astype(jnp.int32)
+        leaf_pos = jnp.clip(leaf_pos, 0, dmax - 1)
 
-        # env-step the selected edge for every board (masked later)
+        # env-step the selected edge using the parent's cached group stats
+        # (selection only proposes legal actions, so no re-analysis)
         parent_states = gather_nodes(tree, par)
-        stepped, done = self.engine.step(parent_states, act)
+        par_libs = tree.node_libs[bar, par]
+        par_size = tree.node_size[bar, par]
+        stepped, done = self.engine.step_trusted(
+            parent_states, act, par_libs, par_size
+        )
 
         need_alloc = active & (existing < 0)
         new_idx = tree.node_count
@@ -396,32 +403,35 @@ class MCTS:
         al = need_alloc & (new_idx < m)
         leaf = jnp.where(active & (existing < 0) & ~al, 0, leaf)  # overflow guard
         safe_new = jnp.where(al, new_idx, 0)
-        term_winner = self.engine.winner(stepped)
-        term_value = jnp.where(
-            stepped.next_player == term_winner, 1.0, -1.0
-        ).astype(jnp.float32)
+        # scoring flood fill only when some board actually hit a terminal
+        term_value = jax.lax.cond(
+            jnp.any(done & active),
+            lambda: jnp.where(
+                stepped.next_player == self.engine.winner(stepped), 1.0, -1.0
+            ).astype(jnp.float32),
+            lambda: jnp.zeros((b,), jnp.float32),
+        )
         leaf_analysis = self.engine.analyze(stepped)
         leaf_legal = self.engine.legal_action_mask(stepped, leaf_analysis)
+        obs = self.encoder(stepped, leaf_analysis)
 
         tree = tree.replace(
             node_count=tree.node_count + al.astype(jnp.int32),
-            visit=tree.visit.at[bar, safe_new].set(
-                jnp.where(al, 0, tree.visit[bar, safe_new])
-            ),
-            value_sum=tree.value_sum.at[bar, safe_new].set(
+            stats=tree.stats.at[bar, safe_new].set(
                 jnp.where(
-                    al, tree.init_value[bar, par],
-                    tree.value_sum[bar, safe_new],
+                    al[:, None],
+                    jnp.stack(
+                        [
+                            jnp.zeros_like(tree.init_value[bar, par]),
+                            tree.init_value[bar, par],  # child-Q seed
+                            jnp.zeros_like(tree.init_value[bar, par]),
+                            jnp.zeros_like(tree.init_value[bar, par]),
+                            jnp.zeros_like(tree.init_value[bar, par]),
+                        ],
+                        axis=-1,
+                    ),
+                    tree.stats[bar, safe_new],
                 )
-            ),
-            ons=tree.ons.at[bar, safe_new].set(
-                jnp.where(al, 0.0, tree.ons[bar, safe_new])
-            ),
-            value_mean=tree.value_mean.at[bar, safe_new].set(
-                jnp.where(al, 0.0, tree.value_mean[bar, safe_new])
-            ),
-            value_var=tree.value_var.at[bar, safe_new].set(
-                jnp.where(al, 0.0, tree.value_var[bar, safe_new])
             ),
             init_value=tree.init_value.at[bar, safe_new].set(
                 jnp.where(al, 0.0, tree.init_value[bar, safe_new])
@@ -445,7 +455,7 @@ class MCTS:
                 jnp.where(al, new_idx, tree.edge_child[bar, par, act])
             ),
         )
-        # clear the new node's edge row + write its legal set
+        # clear the new node's edge row + write legal set and group caches
         tree = tree.replace(
             edge_child=tree.edge_child.at[bar, safe_new].set(
                 jnp.where(
@@ -458,20 +468,40 @@ class MCTS:
             legal=tree.legal.at[bar, safe_new].set(
                 jnp.where(al[:, None], leaf_legal, tree.legal[bar, safe_new])
             ),
+            node_libs=tree.node_libs.at[bar, safe_new].set(
+                jnp.where(
+                    al[:, None],
+                    leaf_analysis.groups.stone_libs.astype(jnp.int16),
+                    tree.node_libs[bar, safe_new],
+                )
+            ),
+            node_size=tree.node_size.at[bar, safe_new].set(
+                jnp.where(
+                    al[:, None],
+                    leaf_analysis.groups.stone_size.astype(jnp.int16),
+                    tree.node_size[bar, safe_new],
+                )
+            ),
         )
         tree = write_node_states(tree, safe_new, stepped, al)
+
+        # complete the path with the leaf
+        path = path.at[bar, leaf_pos].set(
+            jnp.where(active, safe_leaf, NULL)
+        )
 
         # terminal leaves: back up the true outcome now (self_play.py:638-642)
         is_term = active & tree.terminal[bar, safe_leaf]
         tv = tree.terminal_value[bar, safe_leaf]
-        tree = self._backup(tree, safe_leaf, tv, is_term)
+        tree = self._backup(tree, path, leaf_pos, tv, is_term)
 
         needs_eval = active & ~is_term
-        tree = self._incomplete(tree, safe_leaf, needs_eval, +1.0)
-        return tree, safe_leaf, needs_eval
+        tree = self._incomplete(tree, path, needs_eval, +1.0)
+        return tree, safe_leaf, needs_eval, path, leaf_pos, obs
 
     # ------------------------------------------------------------------
-    def _complete(self, tree: Tree, leaf, needs, policy, value) -> Tree:
+    def _complete(self, tree: Tree, leaf, needs, policy, value, path,
+                  leaf_pos) -> Tree:
         """complete_update / incorporate_results (self_play.py:727-755)."""
         b, m, a = tree.shape
         bar = jnp.arange(b)
@@ -482,7 +512,7 @@ class MCTS:
         # status (self_play.py:653, 406); WU leaks ons on duplicates
         # (self_play.py:252-253)
         revert_mask = needs if self.mode != SearchMode.WU else do
-        tree = self._incomplete(tree, leaf, revert_mask, -1.0)
+        tree = self._incomplete(tree, path, revert_mask, -1.0)
 
         legal = tree.legal[bar, leaf]
         scale = jnp.sum(jnp.where(legal, policy, 0.0), axis=1)
@@ -506,7 +536,7 @@ class MCTS:
                 do | tree.expanded[bar, leaf]
             ),
         )
-        return self._backup(tree, leaf, value, do)
+        return self._backup(tree, path, leaf_pos, value, do)
 
     # ------------------------------------------------------------------
     def run_round(self, tree: Tree, eval_fn: EvalFn, key,
@@ -518,32 +548,35 @@ class MCTS:
         b = tree.shape[0]
 
         def descend_body(tree, i):
-            tree, leaf, need = self._descend(
+            tree, leaf, need, path, leaf_pos, obs = self._descend(
                 tree, jax.random.fold_in(key, i), active
             )
-            return tree, (leaf, need)
+            return tree, (leaf, need, path, leaf_pos, obs)
 
-        tree, (leaf_t, need_t) = jax.lax.scan(
+        tree, (leaf_t, need_t, path_t, pos_t, obs_t) = jax.lax.scan(
             descend_body, tree, jnp.arange(self.readouts)
-        )                                           # leaf_t/need_t: [L, B]
+        )                                           # *_t: [L, B, ...]
 
-        # batched evaluation of all leaves across all boards
+        # batched evaluation of all leaves across all boards (observations
+        # were produced during the descents — no re-gather, no re-analysis)
+        obs = obs_t.reshape((self.readouts * b,) + obs_t.shape[2:])
         flat_leaf = leaf_t.reshape(-1)              # L-major
         rep = jnp.tile(jnp.arange(b), self.readouts)
-        flat_states = jax.tree_util.tree_map(
-            lambda x: x[rep, flat_leaf], tree.states
-        )
-        obs = self.encoder(flat_states)
-        policy, value = eval_fn(obs, flat_states.next_player)
+        to_play = tree.states.next_player[rep, flat_leaf]
+        policy, value = eval_fn(obs, to_play)
         policy_t = policy.reshape(self.readouts, b, -1)
         value_t = value.reshape(self.readouts, b)
 
         def complete_body(tree, x):
-            leaf, need, pol, val = x
-            return self._complete(tree, leaf, need, pol, val), None
+            leaf, need, pol, val, path, leaf_pos = x
+            return (
+                self._complete(tree, leaf, need, pol, val, path, leaf_pos),
+                None,
+            )
 
         tree, _ = jax.lax.scan(
-            complete_body, tree, (leaf_t, need_t, policy_t, value_t)
+            complete_body, tree,
+            (leaf_t, need_t, policy_t, value_t, path_t, pos_t),
         )
         return tree
 
@@ -553,7 +586,7 @@ class MCTS:
         until every board's root gained num_simulation visits."""
         b = tree.shape[0]
         bar = jnp.arange(b)
-        start = tree.visit[bar, tree.root]
+        start = tree.stats[bar, tree.root, VISIT]
         target = start + self.num_simulations
 
         # hard round bound: guarantees loop termination even if a board
@@ -562,12 +595,12 @@ class MCTS:
 
         def cond(carry):
             tree, i = carry
-            below = jnp.any(tree.visit[bar, tree.root] < target)
+            below = jnp.any(tree.stats[bar, tree.root, VISIT] < target)
             return below & (i < max_rounds)
 
         def body(carry):
             tree, i = carry
-            active = tree.visit[bar, tree.root] < target
+            active = tree.stats[bar, tree.root, VISIT] < target
             tree = self.run_round(
                 tree, eval_fn, jax.random.fold_in(key, i), active
             )
@@ -608,7 +641,11 @@ class MCTS:
         child = tree.edge_child[bar, tree.root]
         exists = child >= 0
         counts = jnp.where(
-            exists, tree.visit[bar[:, None], jnp.where(exists, child, 0)], 0
+            exists,
+            tree.stats[
+                bar[:, None], jnp.where(exists, child, 0), VISIT
+            ].astype(jnp.int32),
+            0,
         )
         counts = jnp.where(counts == 1, 0, counts)
         pi = counts / jnp.maximum(counts.sum(axis=1, keepdims=True), 1)
@@ -706,11 +743,9 @@ class MCTS:
         stepped_legal = self.engine.legal_action_mask(stepped, stepped_analysis)
 
         new_tree = new_tree.replace(
-            visit=clr(new_tree.visit, 0),
-            value_sum=clr(new_tree.value_sum, 0.0),
-            ons=clr(new_tree.ons, 0.0),
-            value_mean=clr(new_tree.value_mean, 0.0),
-            value_var=clr(new_tree.value_var, 0.0),
+            stats=new_tree.stats.at[:, 0].set(
+                jnp.where(empty[:, None], 0.0, new_tree.stats[:, 0])
+            ),
             init_value=clr(new_tree.init_value, 0.0),
             expanded=clr(new_tree.expanded, False),
             terminal=new_tree.terminal.at[:, 0].set(
@@ -729,6 +764,20 @@ class MCTS:
             ),
             legal=new_tree.legal.at[:, 0].set(
                 jnp.where(empty[:, None], stepped_legal, new_tree.legal[:, 0])
+            ),
+            node_libs=new_tree.node_libs.at[:, 0].set(
+                jnp.where(
+                    empty[:, None],
+                    stepped_analysis.groups.stone_libs.astype(jnp.int16),
+                    new_tree.node_libs[:, 0],
+                )
+            ),
+            node_size=new_tree.node_size.at[:, 0].set(
+                jnp.where(
+                    empty[:, None],
+                    stepped_analysis.groups.stone_size.astype(jnp.int16),
+                    new_tree.node_size[:, 0],
+                )
             ),
         )
         new_tree = write_node_states(new_tree, root0, stepped, empty)

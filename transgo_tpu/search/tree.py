@@ -32,15 +32,20 @@ from transgo_tpu.ops.state import GoState
 
 NULL = -1  # no child / no parent sentinel
 
+# lanes of the packed per-node statistics array `stats` [B, M, NUM_STATS]:
+# packing lets every backup / incomplete-update / UCB read touch ONE
+# gather/scatter instead of five — TPU scatters are the search's hot spot
+VISIT, VSUM, ONS, VMEAN, VVAR = range(5)
+NUM_STATS = 5
+
 
 @struct.dataclass
 class Tree:
-    # per-node statistics [B, M]
-    visit: jnp.ndarray        # int32 total_visit_count
-    value_sum: jnp.ndarray    # float32
-    ons: jnp.ndarray          # float32 WU-UCT unobserved samples
-    value_mean: jnp.ndarray   # float32 (WP)
-    value_var: jnp.ndarray    # float32 (WP)
+    # packed per-node statistics float32 [B, M, NUM_STATS]:
+    #   VISIT total_visit_count, VSUM value_sum, ONS WU-UCT unobserved
+    #   samples, VMEAN/VVAR Welford tracking (WP). Visit counts stored as
+    #   float32 (exact for any realistic count).
+    stats: jnp.ndarray
     init_value: jnp.ndarray   # float32 child value_sum seed (-eval value)
     expanded: jnp.ndarray     # bool  real_expanded
     terminal: jnp.ndarray     # bool  node state is game-over
@@ -51,6 +56,10 @@ class Tree:
     edge_prior: jnp.ndarray   # float32
     edge_child: jnp.ndarray   # int32 node index or NULL
     legal: jnp.ndarray        # bool legal actions at the node
+    # cached per-stone group stats of the node's position [B, M, n] int16 —
+    # lets the search step an edge without re-analyzing the parent board
+    node_libs: jnp.ndarray
+    node_size: jnp.ndarray
     # embedded env states, batch shape [B, M]
     states: GoState
     # bookkeeping [B]
@@ -61,16 +70,35 @@ class Tree:
     def shape(self) -> Tuple[int, int, int]:
         return self.edge_prior.shape  # (B, M, A)
 
+    # convenience read-only views (cold paths / tests; hot code gathers
+    # `stats` once and slices lanes)
+    @property
+    def visit(self) -> jnp.ndarray:
+        return self.stats[..., VISIT].astype(jnp.int32)
+
+    @property
+    def value_sum(self) -> jnp.ndarray:
+        return self.stats[..., VSUM]
+
+    @property
+    def ons(self) -> jnp.ndarray:
+        return self.stats[..., ONS]
+
+    @property
+    def value_mean(self) -> jnp.ndarray:
+        return self.stats[..., VMEAN]
+
+    @property
+    def value_var(self) -> jnp.ndarray:
+        return self.stats[..., VVAR]
+
 
 def init_tree(batch: int, max_nodes: int, num_actions: int,
               board_size: int) -> Tree:
     b, m, a = batch, max_nodes, num_actions
+    n = board_size * board_size
     return Tree(
-        visit=jnp.zeros((b, m), jnp.int32),
-        value_sum=jnp.zeros((b, m), jnp.float32),
-        ons=jnp.zeros((b, m), jnp.float32),
-        value_mean=jnp.zeros((b, m), jnp.float32),
-        value_var=jnp.zeros((b, m), jnp.float32),
+        stats=jnp.zeros((b, m, NUM_STATS), jnp.float32),
         init_value=jnp.zeros((b, m), jnp.float32),
         expanded=jnp.zeros((b, m), bool),
         terminal=jnp.zeros((b, m), bool),
@@ -80,6 +108,8 @@ def init_tree(batch: int, max_nodes: int, num_actions: int,
         edge_prior=jnp.zeros((b, m, a), jnp.float32),
         edge_child=jnp.full((b, m, a), NULL, jnp.int32),
         legal=jnp.zeros((b, m, a), bool),
+        node_libs=jnp.zeros((b, m, n), jnp.int16),
+        node_size=jnp.zeros((b, m, n), jnp.int16),
         states=GoState.new((b, m), board_size),
         node_count=jnp.zeros((b,), jnp.int32),
         root=jnp.zeros((b,), jnp.int32),
@@ -177,11 +207,7 @@ def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
         return out.reshape(ptr.shape)
 
     new_tree = Tree(
-        visit=take(tree.visit),
-        value_sum=take(tree.value_sum),
-        ons=take(tree.ons),
-        value_mean=take(tree.value_mean),
-        value_var=take(tree.value_var),
+        stats=take(tree.stats),
         init_value=take(tree.init_value),
         expanded=take(tree.expanded) & (jnp.arange(m)[None, :] < new_count[:, None]),
         terminal=take(tree.terminal),
@@ -191,6 +217,8 @@ def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
         edge_prior=take(tree.edge_prior),
         edge_child=remap(take(tree.edge_child)),
         legal=take(tree.legal),
+        node_libs=take(tree.node_libs),
+        node_size=take(tree.node_size),
         states=jax.tree_util.tree_map(take, tree.states),
         node_count=new_count,
         root=jnp.zeros((b,), jnp.int32),
