@@ -37,7 +37,7 @@ def jitted(size):
     return eng, jax.jit(eng.step), snapshot, max_step, komi
 
 
-@pytest.mark.parametrize("size,seed", [(5, 0), (5, 1), (9, 2), (7, 4)])
+@pytest.mark.parametrize("size,seed", [(5, 0), (5, 1), (9, 2), (7, 4), (13, 6)])
 def test_random_playout_parity(size, seed):
     eng, step, snapshot, max_step, komi = jitted(size)
     oracle = Oracle(size, komi=komi, max_step=max_step)
