@@ -35,6 +35,10 @@ class Config:
     buffer_size: int = 1_500_000
     is_save_buffer: bool = True
     store_batch: int = 5               # rolling save slots for buffer segments
+    # prioritized replay (the reference ships a dormant PER variant,
+    # replay_buffer.py:102-245 / scale_train_live configure.py:24-26)
+    use_per: bool = False
+    priority_exponent: float = 0.45
     # D4 augmentation policy:
     #   "sample" (TPU default) — store raw positions, apply a random
     #            symmetry per sample at train time;

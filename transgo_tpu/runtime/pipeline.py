@@ -66,7 +66,12 @@ class TrainPipeline:
         self.actor = SelfPlayActor(cfg, self.mcts, self.network)
         self.learner = Learner(cfg, self.network)
         self.arena = Arena(cfg, self.mcts, self.network)
-        self.replay = ReplayBuffer(
+        buffer_cls = ReplayBuffer
+        if getattr(cfg, "use_per", False):
+            from transgo_tpu.runtime.replay import PrioritizedReplayBuffer
+
+            buffer_cls = PrioritizedReplayBuffer
+        self.replay = buffer_cls(
             cfg.buffer_size, self.actor.obs_size, cfg.encode_state_channels,
             num_actions=self.actor.num_actions, own_dim=self.actor.own_dim,
         )
@@ -189,7 +194,7 @@ class TrainPipeline:
                 self.now_train_steps / max(1, self.now_play_steps)
                 < self.train_play_ratio
             ):
-                batch_np = self.replay.sample(cfg.batch_size, self.rng)
+                batch_np = self.replay.sample(cfg.batch_size, self.rng)[:4]
                 self._key, k = jax.random.split(self._key)
                 self.train_state, metrics = self._jit_train(
                     self.train_state,
@@ -220,7 +225,30 @@ class TrainPipeline:
             f"[eval] tick={self.tick} win_ratio={ratio:.2f} "
             f"score={self.evaluate_score}"
         )
+        # per-eval model artifacts (current_policy.model /
+        # best_policy_{score}.model, transgo.py:171-184)
+        try:
+            self._save_policy(current, "current_policy")
+            if promote:
+                self._save_policy(
+                    current, f"best_policy_{self.evaluate_score}"
+                )
+        except Exception as e:  # pragma: no cover
+            self.logger.console(f"[eval] policy save failed: {e}")
         return ratio
+
+    def _save_policy(self, variables, name: str):
+        import orbax.checkpoint as ocp
+
+        path = (Path(self.config.results_path) / name).absolute()
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(
+            path,
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            force=True,
+        )
+        checkpointer.wait_until_finished()
 
     # ------------------------------------------------------------------
     def train(self, max_ticks: int = 10**9,
@@ -246,11 +274,14 @@ class TrainPipeline:
                 }
                 scal.update({k: float(v) for k, v in last.items()})
                 self.logger.log(self.tick, scal)
+                loss_s = (
+                    f"loss={float(last['total_loss']):.4f} "
+                    if "total_loss" in last else ""
+                )
                 self.logger.console(
                     f"tick={self.tick} games={self.now_play_games} "
                     f"play={self.now_play_steps} train={self.now_train_steps} "
-                    f"loss={float(last.get('total_loss', float('nan'))):.4f} "
-                    f"({sps:.1f} moves/s)"
+                    f"{loss_s}({sps:.1f} moves/s)"
                 )
         return last
 

@@ -230,8 +230,11 @@ class PrioritizedReplayBuffer(ReplayBuffer):
     (ReplayMemory_PER, replay_buffer.py:102-167)."""
 
     def __init__(self, capacity, board_size, channels,
-                 priority_exponent: float = 0.6):
-        super().__init__(capacity, board_size, channels)
+                 num_actions: int | None = None, own_dim: int | None = None,
+                 priority_exponent: float = 0.45):
+        # priority_exponent default matches the reference's dormant PER
+        # config (scale_train_live/configure.py:25)
+        super().__init__(capacity, board_size, channels, num_actions, own_dim)
         self.priority_exponent = priority_exponent
         self.tree = SumTree(self.capacity)
 
