@@ -77,3 +77,24 @@ def test_graft_entry_forward():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape == (8, 82)
+
+
+@pytest.mark.slow
+def test_pipeline_on_mesh(tmp_path):
+    """The full pipeline runs with its game batch and train batch sharded
+    over the 8-device mesh (GSPMD partitioning of every jitted step)."""
+    from transgo_tpu.config import small_test_config
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    cfg = small_test_config(
+        board_size=5, max_step=12, num_simulation=6, parallel_readouts=2,
+        selfplay_batch=16, num_features=8, batch_size=16, buffer_size=512,
+        train_play_ratio=0.05, evaluate_num=10**9,
+        results_path=str(tmp_path),
+    )
+    mesh = make_mesh((8, 1), ("data", "model"))
+    pipe = TrainPipeline(cfg, mesh=mesh, quiet=True)
+    for _ in range(14):
+        pipe.run_tick()
+    assert pipe.now_play_games > 0
+    assert pipe.now_train_steps > 0

@@ -53,11 +53,18 @@ from transgo_tpu.utils.metrics import MetricLogger
 class TrainPipeline:
     def __init__(self, config: Config, mode: SearchMode = SearchMode.WP,
                  net_kind: str = "main", engine=None, encoder=None,
-                 quiet: bool = False):
+                 mesh=None, quiet: bool = False):
         """net_kind/engine/encoder let the curriculum recipes reuse this
         pipeline: scale_bound passes net_kind='mini' on a 7x7 config;
         scale_live passes a LiveWindowEngine + LiveWindowEncoder
-        (SURVEY.md 2.2 — the reference instead vendors two full stacks)."""
+        (SURVEY.md 2.2 — the reference instead vendors two full stacks).
+
+        ``mesh``: a jax.sharding.Mesh with a ``data`` axis scales the whole
+        pipeline out — the actor's game batch and the training batch are
+        placed sharded over it, params replicated, and XLA's GSPMD
+        partitioner splits every jitted step across the devices (grads
+        all-reduce over ICI). selfplay_batch and batch_size must divide the
+        axis size."""
         self.config = config
         cfg = config
         self.engine = engine or GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
@@ -101,9 +108,16 @@ class TrainPipeline:
         self._jit_reset = jax.jit(self.actor.reset_done)
         self._jit_train = jax.jit(self._train_step)
 
+        self.mesh = mesh
         self.actor_state = self.actor.init_state(
             self.learner.variables(self.train_state), kactor
         )
+        if mesh is not None:
+            from transgo_tpu.parallel.mesh import replicate, shard_batch
+
+            self.actor_state = shard_batch(mesh, self.actor_state)
+            self.train_state = replicate(mesh, self.train_state)
+            self.frozen_vars = replicate(mesh, self.frozen_vars)
 
     # ------------------------------------------------------------------
     def _train_step(self, state: TrainState, batch, lr, key):
@@ -195,11 +209,14 @@ class TrainPipeline:
                 < self.train_play_ratio
             ):
                 batch_np = self.replay.sample(cfg.batch_size, self.rng)[:4]
+                batch = tuple(jnp.asarray(x) for x in batch_np)
+                if self.mesh is not None:
+                    from transgo_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(self.mesh, batch)
                 self._key, k = jax.random.split(self._key)
                 self.train_state, metrics = self._jit_train(
-                    self.train_state,
-                    tuple(jnp.asarray(x) for x in batch_np),
-                    self.learn_rate, k,
+                    self.train_state, batch, self.learn_rate, k,
                 )
                 self.now_train_steps += 1
         self.tick += 1
