@@ -26,13 +26,12 @@ def cmd_train(args):
     from transgo_tpu.runtime.pipeline import TrainPipeline
 
     cfg = Config(results_path=args.results, seed=args.seed,
-                 selfplay_batch=args.batch)
+                 selfplay_batch=args.batch, buffer_size=args.buffer)
+    pipe = TrainPipeline(cfg)
     if args.resume:
-        pipe = TrainPipeline(cfg)
         pipe.load_checkpoint(args.resume)
-    else:
-        pipe = TrainPipeline(cfg)
-    pipe.train(max_seconds=args.seconds)
+    pipe.train(max_seconds=args.seconds, checkpoint_path=args.checkpoint,
+               checkpoint_every=args.save_every)
     if args.checkpoint:
         pipe.save_checkpoint(args.checkpoint)
 
@@ -83,12 +82,13 @@ def cmd_elo(args):
     checkpointer = ocp.StandardCheckpointer()
     pool = []
     for p in args.checkpoints:
-        restored = checkpointer.restore(
-            Path(p).absolute(),
-            {"params": template["params"],
-             "batch_stats": template["batch_stats"]},
-        )
-        pool.append(restored)
+        # accept both bare policy dirs ({params, batch_stats}) and full
+        # pipeline checkpoints (params/batch_stats/opt_state/counters/...)
+        restored = checkpointer.restore(Path(p).absolute())
+        pool.append({
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        })
     k = len(pool)
     wins = np.zeros((k, k))
     arena = Arena(cfg, mcts, net)
@@ -133,6 +133,8 @@ def main(argv=None):
     t.add_argument("--seconds", type=float, default=3600)
     t.add_argument("--results", default="./results1")
     t.add_argument("--batch", type=int, default=64)
+    t.add_argument("--buffer", type=int, default=1_500_000)
+    t.add_argument("--save-every", type=float, default=900.0)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--resume", default=None)
     t.add_argument("--checkpoint", default=None)

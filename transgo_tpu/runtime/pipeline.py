@@ -219,6 +219,13 @@ class TrainPipeline:
                     self.train_state, batch, self.learn_rate, k,
                 )
                 self.now_train_steps += 1
+                # bound async dispatch: without a periodic sync the catch-up
+                # bursts enqueue thousands of steps ahead of the device,
+                # pinning every host-side batch (observed as an OOM kill)
+                if self.now_train_steps % 32 == 0:
+                    jax.block_until_ready(metrics["total_loss"])
+        if metrics:
+            jax.block_until_ready(metrics["total_loss"])
         self.tick += 1
         return metrics
 
@@ -270,15 +277,29 @@ class TrainPipeline:
     # ------------------------------------------------------------------
     def train(self, max_ticks: int = 10**9,
               max_seconds: float = float("inf"),
-              log_every: int = 20):
+              log_every: int = 20,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: float = 900.0):
         """The driver loop (reference train()+logging_loop,
-        transgo.py:66-211)."""
+        transgo.py:66-211). With ``checkpoint_path`` set, a full checkpoint
+        is written every ``checkpoint_every`` seconds (crash safety the
+        reference lacked — its model only persisted at eval cycles)."""
         t0 = time.time()
+        last_ckpt = t0
         last = {}
         while self.tick < max_ticks and time.time() - t0 < max_seconds:
             m = self.run_tick()
             last = m or last
             self.maybe_evaluate()
+            if (
+                checkpoint_path
+                and time.time() - last_ckpt > checkpoint_every
+            ):
+                self.save_checkpoint(checkpoint_path)
+                last_ckpt = time.time()
+                self.logger.console(
+                    f"[ckpt] tick={self.tick} -> {checkpoint_path}"
+                )
             if self.tick % log_every == 0:
                 sps = self.now_play_steps / max(1e-9, time.time() - t0)
                 scal = {

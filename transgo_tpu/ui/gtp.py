@@ -218,15 +218,13 @@ def main():  # pragma: no cover
         import orbax.checkpoint as ocp
         from pathlib import Path
 
-        cfg = Config()
-        net = build_network(cfg, "main")
-        template = net.init(jax.random.PRNGKey(0))
         restored = ocp.StandardCheckpointer().restore(
-            Path(args.checkpoint).absolute(),
-            {"params": template["params"],
-             "batch_stats": template["batch_stats"]},
+            Path(args.checkpoint).absolute()
         )
-        variables = restored
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
     GTPEngine(variables=variables).serve()
 
 
