@@ -10,8 +10,6 @@ to the same maximum likelihood.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

@@ -29,7 +29,7 @@ last dim of ``energy`` followed by ``bmm(value, attention)``).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,6 @@ only for differential tests — the production path is transgo_tpu.ops.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

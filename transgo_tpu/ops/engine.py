@@ -26,18 +26,15 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from transgo_tpu.ops.groups import (
     GroupStats,
     _pad1,
-    group_labels,
     group_stats,
 )
 from transgo_tpu.ops.state import (
     BLACK,
     EMPTY,
-    INVALID,
     PASS,
     RESIGN,
     WALL,

@@ -18,8 +18,6 @@ runtime (SURVEY.md section 2.3 mapping table):
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ from flax import struct
 from transgo_tpu.models.nets import TransGoNetwork
 from transgo_tpu.ops.state import BLACK
 from transgo_tpu.search.mcts import MCTS
-from transgo_tpu.search.tree import Tree, gather_nodes, init_tree
+from transgo_tpu.search.tree import Tree, gather_nodes
 
 
 @struct.dataclass

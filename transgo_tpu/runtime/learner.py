@@ -18,7 +18,7 @@ The learning rate is injected per-step from host state
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

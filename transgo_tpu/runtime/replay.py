@@ -21,7 +21,6 @@ the factory always returns the random buffer, replay_buffer.py:7-10);
 from __future__ import annotations
 
 import pickle
-from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -50,12 +50,10 @@ loop compensates with more rounds.
 from __future__ import annotations
 
 import enum
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from transgo_tpu.ops.engine import GoEngine
 from transgo_tpu.ops.features import FeatureEncoder

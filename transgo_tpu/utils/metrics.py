@@ -14,7 +14,7 @@ import contextlib
 import json
 import time
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 
 class MetricLogger:
