@@ -127,7 +127,7 @@ def test_scale_bound_pipeline_ticks(tmp_path):
     for _ in range(10):
         pipe.run_tick()
     assert pipe.now_play_games > 0
-    assert len(pipe.replay) > 0
+    assert int(pipe.dreplay.size()) > 0
 
 
 @pytest.mark.slow
@@ -148,5 +148,5 @@ def test_scale_live_pipeline_ticks(tmp_path):
     for _ in range(10):
         pipe.run_tick()
     assert pipe.now_play_games > 0
-    assert len(pipe.replay) > 0
-    assert pipe.replay.obs.shape[1:] == (7, 7, 10)
+    assert int(pipe.dreplay.size()) > 0
+    assert pipe.dreplay.obs.shape[1:] == (7, 7, 10)

@@ -151,7 +151,7 @@ def test_pipeline_end_to_end(tmp_path):
         pipe.run_tick()
     assert pipe.now_play_steps == 16 * 4
     assert pipe.now_play_games > 0, "no game finished in 16 ticks"
-    assert len(pipe.replay) > 0
+    assert int(pipe.dreplay.size()) > 0
     assert pipe.now_train_steps > 0
 
     ckpt = tmp_path / "ckpt"

@@ -39,6 +39,10 @@ class Config:
     # replay_buffer.py:102-245 / scale_train_live configure.py:24-26)
     use_per: bool = False
     priority_exponent: float = 0.45
+    # keep the replay ring in device HBM and fuse sample+augment+train into
+    # one jitted step (no per-step host traffic). Falls back to the host
+    # buffer for augment_mode="eager" or use_per=True.
+    device_replay: bool = True
     # D4 augmentation policy:
     #   "sample" (TPU default) — store raw positions, apply a random
     #            symmetry per sample at train time;

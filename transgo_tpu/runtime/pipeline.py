@@ -73,15 +73,35 @@ class TrainPipeline:
         self.actor = SelfPlayActor(cfg, self.mcts, self.network)
         self.learner = Learner(cfg, self.network)
         self.arena = Arena(cfg, self.mcts, self.network)
-        buffer_cls = ReplayBuffer
-        if getattr(cfg, "use_per", False):
-            from transgo_tpu.runtime.replay import PrioritizedReplayBuffer
-
-            buffer_cls = PrioritizedReplayBuffer
-        self.replay = buffer_cls(
-            cfg.buffer_size, self.actor.obs_size, cfg.encode_state_channels,
-            num_actions=self.actor.num_actions, own_dim=self.actor.own_dim,
+        # replay: device ring by default (no per-step host traffic); the
+        # host buffer handles eager augmentation and PER
+        self.use_device_replay = (
+            getattr(cfg, "device_replay", True)
+            and cfg.augment_mode != "eager"
+            and not getattr(cfg, "use_per", False)
         )
+        if self.use_device_replay:
+            from transgo_tpu.runtime.device_replay import device_replay_init
+
+            self.replay = None
+            self.dreplay = device_replay_init(
+                cfg.buffer_size, self.actor.obs_size,
+                cfg.encode_state_channels, self.actor.num_actions,
+                self.actor.own_dim,
+            )
+        else:
+            buffer_cls = ReplayBuffer
+            if getattr(cfg, "use_per", False):
+                from transgo_tpu.runtime.replay import PrioritizedReplayBuffer
+
+                buffer_cls = PrioritizedReplayBuffer
+            self.replay = buffer_cls(
+                cfg.buffer_size, self.actor.obs_size,
+                cfg.encode_state_channels,
+                num_actions=self.actor.num_actions,
+                own_dim=self.actor.own_dim,
+            )
+            self.dreplay = None
         self.logger = MetricLogger(cfg.results_path, cfg.record_train,
                                    quiet=quiet)
         self.rng = np.random.default_rng(cfg.seed)
@@ -107,6 +127,9 @@ class TrainPipeline:
                                   static_argnums=())
         self._jit_reset = jax.jit(self.actor.reset_done)
         self._jit_train = jax.jit(self._train_step)
+        if self.use_device_replay:
+            self._jit_append = jax.jit(self._append_chunk_device)
+            self._jit_train_replay = jax.jit(self._train_from_replay)
 
         self.mesh = mesh
         self.actor_state = self.actor.init_state(
@@ -128,6 +151,27 @@ class TrainPipeline:
             )
             batch = (obs, pi, win, own)
         return self.learner.train_step(state, batch, lr)
+
+    def _append_chunk_device(self, dreplay, chunk, count):
+        """Jitted device-ring append of a drained trajectory chunk."""
+        from transgo_tpu.runtime.device_replay import append_chunk
+
+        d, t = chunk.win_z.shape
+        g_idx = jnp.arange(d)[:, None]
+        t_idx = jnp.arange(t)[None, :]
+        valid = (g_idx < count) & (t_idx < chunk.length[:, None])
+        return append_chunk(
+            dreplay, chunk.obs, chunk.pi, chunk.win_z, chunk.own_z, valid
+        )
+
+    def _train_from_replay(self, state: TrainState, dreplay, lr, key):
+        """ONE jitted program: sample + (random D4) augment + train step —
+        zero host traffic per training step."""
+        from transgo_tpu.runtime.device_replay import sample as dr_sample
+
+        ks, ka = jax.random.split(key)
+        batch = dr_sample(dreplay, ks, self.config.batch_size)
+        return self._train_step(state, batch, lr, ka)
 
     # ------------------------------------------------------------------
     def _append_games(self, chunk, count: int):
@@ -188,7 +232,12 @@ class TrainPipeline:
                 chunk = self._jit_drain(
                     self.actor_state, out, jnp.int32(off)
                 )
-                self._append_games(chunk, n_done - off)
+                if self.use_device_replay:
+                    self.dreplay = self._jit_append(
+                        self.dreplay, chunk, jnp.int32(n_done - off)
+                    )
+                else:
+                    self._append_games(chunk, n_done - off)
             # LR halving per game (shared_storage.py:33-35)
             for _ in range(n_done):
                 if cfg.adjust_lr:
@@ -208,16 +257,24 @@ class TrainPipeline:
                 self.now_train_steps / max(1, self.now_play_steps)
                 < self.train_play_ratio
             ):
-                batch_np = self.replay.sample(cfg.batch_size, self.rng)[:4]
-                batch = tuple(jnp.asarray(x) for x in batch_np)
-                if self.mesh is not None:
-                    from transgo_tpu.parallel.mesh import shard_batch
-
-                    batch = shard_batch(self.mesh, batch)
                 self._key, k = jax.random.split(self._key)
-                self.train_state, metrics = self._jit_train(
-                    self.train_state, batch, self.learn_rate, k,
-                )
+                if self.use_device_replay:
+                    # fused sample+augment+train on device — no host traffic
+                    self.train_state, metrics = self._jit_train_replay(
+                        self.train_state, self.dreplay, self.learn_rate, k
+                    )
+                else:
+                    batch_np = self.replay.sample(
+                        cfg.batch_size, self.rng
+                    )[:4]
+                    batch = tuple(jnp.asarray(x) for x in batch_np)
+                    if self.mesh is not None:
+                        from transgo_tpu.parallel.mesh import shard_batch
+
+                        batch = shard_batch(self.mesh, batch)
+                    self.train_state, metrics = self._jit_train(
+                        self.train_state, batch, self.learn_rate, k,
+                    )
                 self.now_train_steps += 1
                 # bound async dispatch: without a periodic sync the catch-up
                 # bursts enqueue thousands of steps ahead of the device,
@@ -344,11 +401,18 @@ class TrainPipeline:
                 "tick": self.tick,
             },
         }
+        if self.use_device_replay and self.config.is_save_buffer:
+            # the device ring is just arrays — it rides in the checkpoint
+            ckpt["replay"] = {
+                "obs": self.dreplay.obs, "pi": self.dreplay.pi,
+                "win_z": self.dreplay.win_z, "own_z": self.dreplay.own_z,
+                "index": self.dreplay.index, "full": self.dreplay.full,
+            }
         checkpointer = ocp.StandardCheckpointer()
         checkpointer.save(path, ckpt, force=True)
         checkpointer.wait_until_finished()
-        # reference-compatible segmented replay persistence
-        if self.config.is_save_buffer:
+        # reference-compatible segmented replay persistence (host buffer)
+        if self.replay is not None and self.config.is_save_buffer:
             seg_path = Path(self.config.results_path)
             seg_path.mkdir(parents=True, exist_ok=True)
             slot = (self.tick // max(1, self.config.evaluate_num)) % (
@@ -361,18 +425,7 @@ class TrainPipeline:
 
         path = Path(path).absolute()
         checkpointer = ocp.StandardCheckpointer()
-        template = {
-            "params": self.train_state.params,
-            "batch_stats": self.train_state.batch_stats,
-            "opt_state": self.train_state.opt_state,
-            "frozen_vars": self.frozen_vars,
-            "counters": {
-                "now_play_steps": 0, "now_play_games": 0,
-                "now_train_steps": 0, "learn_rate": 0.0,
-                "train_play_ratio": 0.0, "evaluate_score": 0, "tick": 0,
-            },
-        }
-        ckpt = checkpointer.restore(path, template)
+        ckpt = checkpointer.restore(path)
         self.train_state = TrainState(
             params=ckpt["params"],
             batch_stats=ckpt["batch_stats"],
@@ -388,6 +441,18 @@ class TrainPipeline:
         self.train_play_ratio = float(c["train_play_ratio"])
         self.evaluate_score = int(c["evaluate_score"])
         self.tick = int(c["tick"])
-        if self.config.init_buffer:
+        if self.use_device_replay and "replay" in ckpt:
+            from transgo_tpu.runtime.device_replay import DeviceReplay
+
+            r = ckpt["replay"]
+            self.dreplay = DeviceReplay(
+                obs=jnp.asarray(r["obs"], jnp.uint8),
+                pi=jnp.asarray(r["pi"], jnp.float32),
+                win_z=jnp.asarray(r["win_z"], jnp.float32),
+                own_z=jnp.asarray(r["own_z"], jnp.int8),
+                index=jnp.asarray(r["index"], jnp.int32),
+                full=jnp.asarray(r["full"], bool),
+            )
+        if self.replay is not None and self.config.init_buffer:
             for p in self.config.init_buffer:
                 self.replay.load_from(p)
