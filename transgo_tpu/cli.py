@@ -74,11 +74,10 @@ def cmd_elo(args):
     from transgo_tpu.ops import GoEngine
     from transgo_tpu.search.mcts import MCTS, SearchMode
 
-    cfg = Config()
+    cfg = Config(num_simulation=args.sims)
     engine = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
     mcts = MCTS(cfg, engine, SearchMode.WP)
     net = build_network(cfg, "main")
-    template = net.init(jax.random.PRNGKey(0))
     checkpointer = ocp.StandardCheckpointer()
     pool = []
     for p in args.checkpoints:
@@ -152,6 +151,7 @@ def main(argv=None):
     e = sub.add_parser("elo")
     e.add_argument("--checkpoints", nargs="+", required=True)
     e.add_argument("--games", type=int, default=10)
+    e.add_argument("--sims", type=int, default=50)
     e.add_argument("--seed", type=int, default=0)
 
     m = sub.add_parser("smoke")

@@ -326,8 +326,11 @@ class GoEngine:
         )
         reach = reachability(spec, linked)                # [B, n, n]
         reach = reach & is_empty[:, :, None]
+        mm_dtype = (
+            jnp.bfloat16 if spec.num_points <= 256 else jnp.float32
+        )
         m = jnp.matmul(
-            reach.astype(jnp.float32), spec.ADJ[None],
+            reach.astype(mm_dtype), spec.ADJ[None].astype(mm_dtype),
             preferred_element_type=jnp.float32,
         )                                                 # region-adjacency
         border = m > 0.5

@@ -93,8 +93,9 @@ def live_stone_mask(
     own = stones == color
 
     # cand[b, i, e]: e is a true eye of `color` adjacent to i's group
+    mm_dtype = jnp.bfloat16 if n <= 256 else jnp.float32
     m = jnp.matmul(
-        g.reach.astype(jnp.float32), spec.ADJ[None],
+        g.reach.astype(mm_dtype), spec.ADJ[None].astype(mm_dtype),
         preferred_element_type=jnp.float32,
     )
     cand = (m > 0.5) & te[:, None, :] & own[:, :, None]  # [B, i, e]

@@ -113,17 +113,23 @@ def reachability(spec: BoardSpec, linked: jnp.ndarray) -> jnp.ndarray:
     batched [n, n] x [n, n] matmul — ~0.5 GFLOP per 4096-board batch at
     9x9, which the systolic array does in microseconds, vs the multi-ms
     per-point gather loops it replaces.
+
+    Operands are bf16 when n <= 256 (products of {0,1} accumulate in f32 on
+    the MXU regardless of input dtype, and the thresholded comparison only
+    needs "is the sum nonzero", which f32 accumulation answers exactly);
+    larger boards use f32 inputs.
     """
     n = spec.num_points
-    eye = jnp.eye(n, dtype=jnp.float32)
-    r = linked.astype(jnp.float32) + eye
+    dtype = jnp.bfloat16 if n <= 256 else jnp.float32
+    eye = jnp.eye(n, dtype=dtype)
+    r = linked.astype(dtype) + eye
 
     def body(_, r):
         rr = jnp.matmul(r, r, preferred_element_type=jnp.float32)
-        return (rr > 0.5).astype(jnp.float32)
+        return (rr > 0.5).astype(dtype)
 
     r = lax.fori_loop(0, spec.REACH_ROUNDS, body, r)
-    return r > 0.5
+    return r > jnp.asarray(0.5, dtype)
 
 
 def stone_reachability(spec: BoardSpec, stones: jnp.ndarray) -> jnp.ndarray:
@@ -154,12 +160,14 @@ def group_stats(spec: BoardSpec, stones: jnp.ndarray,
     is_stone = stones > EMPTY
     is_empty = stones == EMPTY
     reach = stone_reachability(spec, stones)
-    reach_f = reach.astype(jnp.float32)
+    mm_dtype = jnp.bfloat16 if n <= 256 else jnp.float32
+    reach_f = reach.astype(mm_dtype)
 
     stone_size = jnp.sum(reach, axis=2).astype(jnp.int32)
 
-    # group-adjacency to empty points
-    m = jnp.matmul(reach_f, spec.ADJ[None],
+    # group-adjacency to empty points (f32 accumulation keeps the nonzero
+    # test exact regardless of operand dtype)
+    m = jnp.matmul(reach_f, spec.ADJ[None].astype(mm_dtype),
                    preferred_element_type=jnp.float32)   # [B, n, n]
     adj_empty = (m > 0.5) & is_empty[:, None, :]
     stone_libs = jnp.sum(adj_empty, axis=2).astype(jnp.int32)

@@ -111,6 +111,12 @@ class GTPEngine:
         return ""
 
     def cmd_genmove(self, color: str) -> str:
+        want = BLACK if color.lower().startswith("b") else WHITE
+        if int(self.state.next_player[0]) != want:
+            # out-of-turn request: inject a pass for the side to move
+            self.state, _ = self.engine.step(
+                self.state, jnp.array([self.engine.spec.num_points])
+            )
         self.key, k = jax.random.split(self.key)
         action = int(self._select(self.state, k)[0])
         self.state, _ = self.engine.step(self.state, jnp.array([action]))
