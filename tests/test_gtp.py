@@ -75,3 +75,78 @@ def test_undo(gtp):
     _cmd(gtp, "play white D3")
     _cmd(gtp, "undo")
     assert _cmd(gtp, "showboard") == before
+
+
+def test_genmove_out_of_turn_plays_requested_color(gtp):
+    """genmove for the off-turn color injects a pass (GTP allows it)."""
+    import numpy as np
+    _cmd(gtp, "clear_board")
+    _cmd(gtp, "genmove white")     # black to move -> pass for black first
+    _cmd(gtp, "genmove white")
+    stones = np.asarray(gtp.state.stones[0])
+    assert (stones == 1).sum() == 0      # no black stones ever placed
+    assert (stones == 2).sum() <= 2      # whites (could pass)
+
+
+class TestBoardGUI:
+    """Display-free logic behind the tkinter board (ui/board_gui.py)."""
+
+    def test_snap_to_point(self):
+        from transgo_tpu.ui.board_gui import snap_to_point
+
+        # exact intersection (row 1, col 2) at origin 40, cell 46
+        assert snap_to_point(40 + 2 * 46, 40 + 46, 40, 46, 9) == 9 + 2
+        # within tolerance
+        assert snap_to_point(40 + 2 * 46 + 8, 40 + 46 - 8, 40, 46, 9) == 11
+        # centered between intersections -> rejected
+        assert snap_to_point(40 + 23, 40 + 23, 40, 46, 9) == -1
+        # off-board
+        assert snap_to_point(0, 0, 40, 46, 9) == -1
+        assert snap_to_point(40 + 12 * 46, 40, 40, 46, 9) == -1
+
+    def test_board_delta(self):
+        import numpy as np
+
+        from transgo_tpu.ui.board_gui import board_delta
+
+        old = np.array([0, 1, 2, 0], np.int8)
+        new = np.array([1, 1, 0, 0], np.int8)
+        added, removed = board_delta(old, new)
+        assert added == [(0, 1)] and removed == [2]
+
+    def test_session_human_vs_human(self):
+        from transgo_tpu.config import small_test_config
+        from transgo_tpu.ui.board_gui import GameSession
+
+        s = GameSession(small_test_config(board_size=5, max_step=20,
+                                          num_features=8), bot=False)
+        assert s.play(12)                   # center
+        assert s.stones[12] == 1
+        assert not s.play(12)               # occupied -> rejected
+        assert s.to_play == 2
+        assert s.undo()
+        assert s.stones[12] == 0 and s.to_play == 1
+        s.play(12)
+        s.resign()                          # white resigns
+        assert s.game_over and s.result() == "B+Resign"
+        s.new_game()
+        assert not s.game_over and s.stones.sum() == 0
+
+    def test_session_bot_answers(self):
+        from transgo_tpu.config import small_test_config
+        from transgo_tpu.ui.board_gui import GameSession
+
+        s = GameSession(small_test_config(
+            board_size=5, max_step=20, num_simulation=4,
+            parallel_readouts=2, num_features=8))
+        assert s.play(6)
+        a = s.bot_move()
+        assert 0 <= a <= s.pass_action
+        assert s.to_play == 1               # back to the human
+        # double passes end the game; result is a score string
+        s.play(s.pass_action)
+        if not s.game_over:
+            s.state, _ = s.engine.step(
+                s.state, __import__("jax.numpy", fromlist=["a"]).array(
+                    [s.pass_action]))
+        assert s.result()[0] in "BW"
