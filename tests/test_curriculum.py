@@ -149,4 +149,5 @@ def test_scale_live_pipeline_ticks(tmp_path):
         pipe.run_tick()
     assert pipe.now_play_games > 0
     assert int(pipe.dreplay.size()) > 0
-    assert pipe.dreplay.obs.shape[1:] == (7, 7, 10)
+    assert pipe.dreplay.obs_shape == (7, 7, 10)
+    assert pipe.dreplay.obs.shape[1:] == (7 * 7 * 10,)

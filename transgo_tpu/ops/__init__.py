@@ -20,3 +20,6 @@ from transgo_tpu.ops.state import (  # noqa: F401
 from transgo_tpu.ops.engine import (  # noqa: F401
     GoEngine,
 )
+from transgo_tpu.ops.ladder import (  # noqa: F401
+    LadderReader,
+)

@@ -194,6 +194,103 @@ class FeatureEncoder:
         return feats.reshape(feats.shape[0], size, size, self.planes)
 
 
+# ---------------------------------------------------------------------------
+# Standalone per-plane extractors that no shipped encoder consumes — kept for
+# component parity with board_feature.cc (getStones/getSimpleKo/getHistory*).
+# ``last_placed`` (board.h:13) is maintained *outside* GoState by
+# ``update_last_placed`` so the engine hot path carries no dead freight.
+
+
+def stones_map(stones: jnp.ndarray, color) -> jnp.ndarray:
+    """float32[B, n]: stones of ``color`` (getStones, board_feature.cc:44-53;
+    the reference's ``=``-for-``==`` bug is fixed, not replicated)."""
+    return (stones == color).astype(jnp.float32)
+
+
+def simple_ko_map(spec: BoardSpec, state: GoState) -> jnp.ndarray:
+    """float32[B, n]: the active simple-ko point, if any
+    (getSimpleKo, board_feature.cc:56-66)."""
+    coords = jnp.arange(spec.num_points, dtype=jnp.int32)[None, :]
+    active = (state.ko_age[:, None] == 0) & (
+        state.ko_location[:, None] == coords
+    )
+    return active.astype(jnp.float32)
+
+
+def history_map1(spec: BoardSpec, state: GoState) -> jnp.ndarray:
+    """float32[B, n]: one-hot last move (getHistoryMap1,
+    board_feature.cc:92-101; zero plane after a pass/resign)."""
+    coords = jnp.arange(spec.num_points, dtype=jnp.int32)[None, :]
+    hit = (state.last_move1[:, None] == coords) & (
+        state.last_move1[:, None] >= 0
+    )
+    return hit.astype(jnp.float32)
+
+
+def history_map2(spec: BoardSpec, state: GoState) -> jnp.ndarray:
+    """float32[B, n]: one-hot second-to-last move (getHistoryMap2,
+    board_feature.cc:103-112)."""
+    coords = jnp.arange(spec.num_points, dtype=jnp.int32)[None, :]
+    hit = (state.last_move2[:, None] == coords) & (
+        state.last_move2[:, None] >= 0
+    )
+    return hit.astype(jnp.float32)
+
+
+def init_last_placed(batch: int, spec: BoardSpec) -> jnp.ndarray:
+    """int16[B, n] zeros — clearBoard's memset of Info (board.cc:13-26)."""
+    return jnp.zeros((batch, spec.num_points), jnp.int16)
+
+
+def update_last_placed(
+    spec: BoardSpec,
+    last_placed: jnp.ndarray,
+    prev_state: GoState,
+    new_state: GoState,
+) -> jnp.ndarray:
+    """Advance the placement-step map across one ``engine.step``.
+
+    Mirrors ``infos[c].last_placed = step_count`` at stone placement
+    (board.cc:311,641 — written *before* step_count increments). Captured
+    points keep their stale value, exactly like the reference (capture clears
+    only color/id, board.cc:217-239); the color filter in
+    :func:`history_map`/:func:`history_exp` hides them.
+    """
+    n = spec.num_points
+    b = last_placed.shape[0]
+    c = new_state.last_move1.astype(jnp.int32)
+    # a stone went down this tick iff the step counter advanced and the
+    # recorded move is an on-board coordinate (PASS/RESIGN are negative)
+    placed = (c >= 0) & (new_state.step_count == prev_state.step_count + 1)
+    scat = jnp.where(placed, c, n)  # off-board slots are dropped
+    return last_placed.at[jnp.arange(b), scat].set(
+        prev_state.step_count, mode="drop"
+    )
+
+
+def history_map(
+    last_placed: jnp.ndarray, stones: jnp.ndarray, player
+) -> jnp.ndarray:
+    """float32[B, n]: placement step of ``player``'s stones — or of *every*
+    point when ``player`` is EMPTY (getHistoryMap + PLAYER_OR_BOTH,
+    board_feature.cc:14,114-125)."""
+    sel = (stones == player) | (player == EMPTY)
+    return jnp.where(sel, last_placed.astype(jnp.float32), 0.0)
+
+
+def history_exp(
+    last_placed: jnp.ndarray,
+    stones: jnp.ndarray,
+    step_count: jnp.ndarray,
+    player,
+) -> jnp.ndarray:
+    """float32[B, n]: exp((placement - now) / 10) recency decay
+    (getHistoryExp, board_feature.cc:128-139)."""
+    sel = (stones == player) | (player == EMPTY)
+    age = last_placed.astype(jnp.float32) - step_count.astype(jnp.float32)[:, None]
+    return jnp.where(sel, jnp.exp(age / 10.0), 0.0)
+
+
 def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
     """Convert to the reference's [B, C, H, W] layout (environment.py:106)."""
     return jnp.transpose(x, (0, 3, 1, 2))

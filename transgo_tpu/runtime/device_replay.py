@@ -31,12 +31,17 @@ from flax import struct
 
 @struct.dataclass
 class DeviceReplay:
-    obs: jnp.ndarray     # uint8 [cap, H, W, C]
+    # obs rows are stored FLATTENED [cap, H*W*C]: TPU tiled layouts pad the
+    # two minor dims (sublanes to 8, lanes to 128), so u8[cap, 9, 9, 10]
+    # materializes as [cap, 16, 128] tiles — a 22x HBM blow-up that OOMs at
+    # the reference's 1.5M capacity. Flat rows pad 810 -> 1024 lanes only.
+    obs: jnp.ndarray     # uint8 [cap, H*W*C]
     pi: jnp.ndarray      # float32 [cap, A]
     win_z: jnp.ndarray   # float32 [cap]
     own_z: jnp.ndarray   # int8 [cap, own_dim]
     index: jnp.ndarray   # int32 write pointer
     full: jnp.ndarray    # bool
+    obs_shape: Tuple[int, int, int] = struct.field(pytree_node=False)
 
     @property
     def capacity(self) -> int:
@@ -49,12 +54,13 @@ class DeviceReplay:
 def device_replay_init(capacity: int, obs_size: int, channels: int,
                        num_actions: int, own_dim: int) -> DeviceReplay:
     return DeviceReplay(
-        obs=jnp.zeros((capacity, obs_size, obs_size, channels), jnp.uint8),
+        obs=jnp.zeros((capacity, obs_size * obs_size * channels), jnp.uint8),
         pi=jnp.zeros((capacity, num_actions), jnp.float32),
         win_z=jnp.zeros((capacity,), jnp.float32),
         own_z=jnp.zeros((capacity, own_dim), jnp.int8),
         index=jnp.zeros((), jnp.int32),
         full=jnp.zeros((), bool),
+        obs_shape=(obs_size, obs_size, channels),
     )
 
 
@@ -79,13 +85,13 @@ def append_chunk(replay: DeviceReplay, obs, pi, win_z, own_z,
     slot = jnp.where(flat_valid, slot, cap)          # OOB -> dropped
 
     def wr(dst, src, dtype):
-        flat = src.reshape((k,) + src.shape[2:]).astype(dtype)
+        flat = src.reshape((k,) + dst.shape[1:]).astype(dtype)
         return dst.at[slot].set(flat, mode="drop")
 
     n_new = jnp.sum(flat_valid.astype(jnp.int32))
     new_index = (replay.index + n_new) % cap
     wrapped = replay.index + n_new >= cap
-    return DeviceReplay(
+    return replay.replace(
         obs=wr(replay.obs, obs, jnp.uint8),
         pi=wr(replay.pi, pi, jnp.float32),
         win_z=wr(replay.win_z, win_z, jnp.float32),
@@ -100,7 +106,9 @@ def sample(replay: DeviceReplay, key, batch_size: int):
     size = jnp.maximum(replay.size(), 1)
     idx = jax.random.randint(key, (batch_size,), 0, size)
     return (
-        replay.obs[idx].astype(jnp.float32),
+        replay.obs[idx]
+        .reshape((batch_size,) + replay.obs_shape)
+        .astype(jnp.float32),
         replay.pi[idx],
         replay.win_z[idx],
         replay.own_z[idx].astype(jnp.float32),
@@ -112,7 +120,9 @@ def to_host_buffer(replay: DeviceReplay, host_buffer) -> None:
     pickle persistence path)."""
     import numpy as np
 
-    host_buffer.obs[:] = np.asarray(replay.obs, dtype=np.float32)
+    host_buffer.obs[:] = np.asarray(replay.obs, dtype=np.float32).reshape(
+        (replay.capacity,) + replay.obs_shape
+    )
     host_buffer.pi[:] = np.asarray(replay.pi)
     host_buffer.win_z[:] = np.asarray(replay.win_z)
     host_buffer.own_z[:] = np.asarray(replay.own_z, dtype=np.float32)

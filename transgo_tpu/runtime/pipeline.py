@@ -128,7 +128,11 @@ class TrainPipeline:
         self._jit_reset = jax.jit(self.actor.reset_done)
         self._jit_train = jax.jit(self._train_step)
         if self.use_device_replay:
-            self._jit_append = jax.jit(self._append_chunk_device)
+            # donate the ring: an append must update the 1+ GB buffers in
+            # place, not materialize a second copy in HBM
+            self._jit_append = jax.jit(
+                self._append_chunk_device, donate_argnums=(0,)
+            )
             self._jit_train_replay = jax.jit(self._train_from_replay)
 
         self.mesh = mesh
@@ -445,8 +449,11 @@ class TrainPipeline:
             from transgo_tpu.runtime.device_replay import DeviceReplay
 
             r = ckpt["replay"]
+            shape = self.dreplay.obs_shape
+            cap = int(jnp.asarray(r["win_z"]).shape[0])
             self.dreplay = DeviceReplay(
-                obs=jnp.asarray(r["obs"], jnp.uint8),
+                obs=jnp.asarray(r["obs"], jnp.uint8).reshape(cap, -1),
+                obs_shape=shape,
                 pi=jnp.asarray(r["pi"], jnp.float32),
                 win_z=jnp.asarray(r["win_z"], jnp.float32),
                 own_z=jnp.asarray(r["own_z"], jnp.int8),
