@@ -165,3 +165,166 @@ def test_pipeline_end_to_end(tmp_path):
         pipe.train_state.params, pipe2.train_state.params,
     )
     assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+class TestContinuousActor:
+    """play_tick: per-board move boundaries (one search round per tick, a
+    board moves the tick its own visit target is hit) must reproduce
+    play_move's per-move semantics — same visit budget, labels, lengths."""
+
+    def _setup(self, **over):
+        from transgo_tpu.models import build_network
+        from transgo_tpu.ops import GoEngine
+        from transgo_tpu.runtime.actor import SelfPlayActor
+        from transgo_tpu.search.mcts import MCTS, SearchMode
+
+        cfg = small_test_config(
+            board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+            num_features=8, continuous_selfplay=True, **over,
+        )
+        eng = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+        net = build_network(cfg, "main")
+        variables = net.init(jax.random.PRNGKey(0))
+        mcts = MCTS(cfg, eng, SearchMode.WP)
+        actor = SelfPlayActor(cfg, mcts, net)
+        return cfg, actor, variables
+
+    def test_games_complete_with_labels(self):
+        cfg, actor, variables = self._setup()
+        state = actor.init_state(variables, jax.random.PRNGKey(1))
+        tick = jax.jit(actor.play_tick)
+        reset = jax.jit(actor.reset_done)
+
+        total_moves = 0
+        finished = 0
+        for _ in range(160):
+            state, out = tick(state, variables)
+            total_moves += int(np.asarray(out.moved).sum())
+            done = np.asarray(out.done)
+            if done.any():
+                lengths = np.asarray(out.length)
+                win = np.asarray(out.win_z)
+                for b in np.nonzero(done)[0]:
+                    k = int(lengths[b])
+                    assert 0 < k <= cfg.max_step
+                    # labels are +-1 on played moves, 0 beyond
+                    assert set(np.unique(win[b, :k])) <= {-1.0, 1.0}
+                    assert np.all(win[b, k:] == 0.0)
+                    finished += 1
+                state = reset(state, variables, out.done)
+            if finished >= 4:
+                break
+        assert finished >= 4, f"only {finished} games finished"
+        assert total_moves >= finished * 2
+
+    def test_move_respects_visit_target(self):
+        """A board only moves once its root collected num_simulation new
+        visits (or the round cap hit) — never earlier."""
+        from transgo_tpu.search.tree import VISIT
+
+        cfg, actor, variables = self._setup()
+        state = actor.init_state(variables, jax.random.PRNGKey(2))
+        tick = jax.jit(actor.play_tick)
+        for _ in range(12):
+            bar = np.arange(cfg.selfplay_batch)
+            tree = state.tree
+            visits = np.asarray(
+                tree.stats[bar, np.asarray(tree.root)][:, VISIT]
+            )
+            target = np.asarray(state.visit_target)
+            rounds = np.asarray(state.move_rounds)
+            state, out = tick(state, variables)
+            moved = np.asarray(out.moved)
+            early = moved & (visits < target) & (rounds < cfg.num_simulation)
+            assert not early.any(), (visits, target, rounds)
+
+
+class TestRunChunk:
+    """The fused continuous loop: chunk_ticks rounds + on-device game reset
+    + device-replay append per device call."""
+
+    def _setup(self):
+        from transgo_tpu.models import build_network
+        from transgo_tpu.ops import GoEngine
+        from transgo_tpu.runtime.actor import SelfPlayActor
+        from transgo_tpu.runtime.device_replay import device_replay_init
+        from transgo_tpu.search.mcts import MCTS, SearchMode
+
+        cfg = small_test_config(
+            board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+            num_features=8, continuous_selfplay=True,
+            selfplay_chunk_ticks=8,
+        )
+        eng = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+        net = build_network(cfg, "main")
+        variables = net.init(jax.random.PRNGKey(0))
+        mcts = MCTS(cfg, eng, SearchMode.WP)
+        actor = SelfPlayActor(cfg, mcts, net)
+        dreplay = device_replay_init(
+            256, 5, cfg.encode_state_channels, 26, actor.own_dim
+        )
+        return cfg, actor, variables, dreplay
+
+    def test_games_land_in_device_replay(self):
+        cfg, actor, variables, dreplay = self._setup()
+        state = actor.init_state(variables, jax.random.PRNGKey(1))
+        chunk = jax.jit(actor.run_chunk)
+
+        games = moves = 0
+        for _ in range(16):
+            state, dreplay, stats = chunk(state, dreplay, variables)
+            games += int(np.asarray(stats["games"]))
+            moves += int(np.asarray(stats["moves"]))
+            assert int(np.asarray(stats["dropped"])) == 0
+            if games >= 4:
+                break
+        assert games >= 4, f"only {games} games in 16 chunks"
+        size = int(dreplay.size())
+        assert size > 0
+        # every appended row is a real position: win labels are +-1,
+        # pi rows sum to ~1
+        win = np.asarray(dreplay.win_z)[:size]
+        assert set(np.unique(win)) <= {-1.0, 1.0}
+        pi = np.asarray(dreplay.pi)[:size]
+        assert np.allclose(pi.sum(axis=1), 1.0, atol=1e-4)
+        # move accounting is consistent: each game contributed <= max_step
+        # moves and the appended rows equal the finished games' lengths
+        assert moves >= size
+        assert size <= games * cfg.max_step
+
+
+@pytest.mark.slow
+def test_pipeline_continuous_end_to_end(tmp_path):
+    """The pipeline on fused continuous self-play: games finish and append
+    on device, counters follow the chunk stats, training catches up."""
+    cfg = small_test_config(
+        board_size=5,
+        max_step=12,
+        num_simulation=8,
+        selfplay_batch=4,
+        num_features=8,
+        batch_size=8,
+        buffer_size=512,
+        train_play_ratio=0.05,
+        evaluate_num=10**9,
+        continuous_selfplay=True,
+        selfplay_chunk_ticks=8,
+        results_path=str(tmp_path / "results"),
+    )
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    pipe = TrainPipeline(cfg, quiet=True)
+    assert pipe._jit_chunk is not None  # fused path selected
+    for _ in range(40):
+        pipe.run_tick()
+        if pipe.now_play_games >= 4 and pipe.now_train_steps > 0:
+            break
+    assert pipe.now_play_games >= 4, "no games finished under continuous mode"
+    assert pipe.now_train_steps > 0
+    assert int(pipe.dreplay.size()) > 0
+    # at >=2 rounds per 8-sim move, moves per chunk are bounded well below
+    # ticks * batch
+    assert (
+        pipe.now_play_steps
+        <= pipe.tick * cfg.selfplay_chunk_ticks * cfg.selfplay_batch // 2
+    )

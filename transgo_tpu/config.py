@@ -119,6 +119,14 @@ class Config:
 
     # ---------- TPU runtime (no reference equivalent) ----------
     selfplay_batch: int = 64           # games stepped in lockstep per chip
+    # continuous self-play: per-board move boundaries (one search round per
+    # tick; each board moves the tick its own visit target is hit) instead
+    # of batch-lockstep moves — removes the straggler barrier that flattens
+    # throughput at large selfplay_batch
+    continuous_selfplay: bool = False
+    # fused ticks per device call in continuous mode (one host sync per
+    # chunk; finished games append to the device replay inside the chunk)
+    selfplay_chunk_ticks: int = 16
     max_nodes: int = 0                 # MCTS tree capacity; 0 = auto
     # static bound on recorded search-path depth. Backup/incomplete scatters
     # scale with it, so keep it tight; a deeper descent falls back to a

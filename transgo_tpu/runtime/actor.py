@@ -24,7 +24,12 @@ from flax import struct
 from transgo_tpu.models.nets import TransGoNetwork
 from transgo_tpu.ops.state import BLACK
 from transgo_tpu.search.mcts import MCTS
-from transgo_tpu.search.tree import Tree, gather_nodes
+from transgo_tpu.search.tree import (
+    VISIT,
+    Tree,
+    gather_nodes,
+    row_set,
+)
 
 
 @struct.dataclass
@@ -35,6 +40,9 @@ class ActorState:
     traj_player: jnp.ndarray  # int8 [B, T]
     move_count: jnp.ndarray   # int32 [B]
     rng: jnp.ndarray          # PRNG key
+    # continuous-mode bookkeeping (unused by the lockstep play_move path):
+    visit_target: jnp.ndarray  # float32 [B] root-visit goal this move
+    move_rounds: jnp.ndarray   # int32 [B] search rounds spent this move
 
 
 class TickOut(NamedTuple):
@@ -43,6 +51,7 @@ class TickOut(NamedTuple):
     win_z: jnp.ndarray    # float32 [B, T] per-move outcome labels
     own_z: jnp.ndarray    # float32 [B, T, n] per-move ownership labels
     order: jnp.ndarray    # int32 [B] board indices, finished games first
+    moved: jnp.ndarray    # bool [B] boards that played a move this tick
 
 
 class DrainChunk(NamedTuple):
@@ -62,6 +71,11 @@ class SelfPlayActor:
         self.engine = mcts.engine
         self.batch = config.selfplay_batch
         self.max_moves = config.max_step
+        # continuous mode: per-board move boundaries (play_tick) instead of
+        # the lockstep per-move search loop (play_move) — root noise is then
+        # applied here (at each board's move start), never by the search
+        self.continuous = bool(getattr(config, "continuous_selfplay", False))
+        self.chunk_ticks = int(getattr(config, "selfplay_chunk_ticks", 16))
         self.drain_size = min(drain_size, self.batch)
         # trajectory shapes follow the search's observation/action space
         # (full board for the main run; the 7x7 window for scale_live)
@@ -92,11 +106,14 @@ class SelfPlayActor:
     def init_state(self, variables, key) -> ActorState:
         b = self.batch
         t = self.max_moves
-        key, kgames = jax.random.split(key)
+        key, kgames, knoise = jax.random.split(key, 3)
         tree = self.mcts.new_tree(b)
         tree = self.mcts.reset_root(
             tree, self._eval_fn(variables), self._init_games(b, kgames)
         )
+        if self.continuous:
+            tree = self.mcts.root_dirichlet(tree, knoise)
+        bar = jnp.arange(b)
         return ActorState(
             tree=tree,
             traj_obs=jnp.zeros(
@@ -108,6 +125,9 @@ class SelfPlayActor:
             traj_player=jnp.zeros((b, t), jnp.int8),
             move_count=jnp.zeros((b,), jnp.int32),
             rng=key,
+            visit_target=tree.stats[bar, tree.root, VISIT]
+            + self.mcts.num_simulations,
+            move_rounds=jnp.zeros((b,), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -119,7 +139,6 @@ class SelfPlayActor:
         The batch size is derived from the arrays (not config) so the same
         method body works on per-shard slices under shard_map."""
         b = state.move_count.shape[0]
-        bar = jnp.arange(b)
         eval_fn = self._eval_fn(variables)
         key, kmove = jax.random.split(state.rng)
 
@@ -127,12 +146,12 @@ class SelfPlayActor:
         res = self.mcts.get_action_probs(state.tree, eval_fn, kmove)
 
         mc = jnp.clip(state.move_count, 0, self.max_moves - 1)
-        traj_obs = state.traj_obs.at[bar, mc].set(
-            res.observation.astype(jnp.uint8)
+        traj_obs = row_set(
+            state.traj_obs, mc, res.observation.astype(jnp.uint8)
         )
-        traj_pi = state.traj_pi.at[bar, mc].set(res.action_probs)
-        traj_player = state.traj_player.at[bar, mc].set(
-            root_states.next_player
+        traj_pi = row_set(state.traj_pi, mc, res.action_probs)
+        traj_player = row_set(
+            state.traj_player, mc, root_states.next_player
         )
 
         tree, done = self.mcts.advance(res.tree, res.action, eval_fn)
@@ -167,7 +186,7 @@ class SelfPlayActor:
 
         order = jnp.argsort(~done)  # finished boards first, stable
 
-        new_state = ActorState(
+        new_state = state.replace(
             tree=tree,
             traj_obs=traj_obs,
             traj_pi=traj_pi,
@@ -175,7 +194,262 @@ class SelfPlayActor:
             move_count=move_count,
             rng=key,
         )
-        return new_state, TickOut(done, move_count, win_z, own_z, order)
+        return new_state, TickOut(
+            done, move_count, win_z, own_z, order, jnp.ones((b,), bool)
+        )
+
+    # ------------------------------------------------------------------
+    def _move_phase(self, state: ActorState, ksample):
+        """Per-board move boundary: boards whose root hit the visit target
+        (or the round cap) record pi/obs at their move slot, sample an
+        action and advance their tree — everyone else passes through.
+
+        Returns (state', ready, done, need_expand) where ``state'`` carries
+        the merged tree WITHOUT root expansion/noise/targets (the caller
+        batches those across advance and reset sites)."""
+        b = state.move_count.shape[0]
+        bar = jnp.arange(b)
+        tree = state.tree
+
+        root_visits = tree.stats[bar, tree.root, VISIT]
+        ready = (root_visits >= state.visit_target) | (
+            state.move_rounds >= self.mcts.num_simulations
+        )
+
+        root_states = gather_nodes(tree, tree.root)
+        counts, pi = self.mcts.action_statistics(tree)
+        legal_root = tree.legal[bar, tree.root]
+        none_left = ~jnp.any(counts > 0, axis=1)
+        counts = jnp.where(
+            none_left[:, None], legal_root.astype(counts.dtype), counts
+        )
+        pi = jnp.where(
+            none_left[:, None],
+            legal_root
+            / jnp.maximum(legal_root.sum(axis=1, keepdims=True), 1),
+            pi,
+        )
+        step = root_states.step_count.astype(jnp.float32)
+        temp = 0.65 + (1.0 - 0.65) * jnp.exp(-step / 10.0)
+        action = self.mcts.sample_action(counts, temp, ksample)
+
+        obs = self.mcts.encoder(root_states)
+        mc = jnp.clip(state.move_count, 0, self.max_moves - 1)
+        traj_obs = row_set(state.traj_obs, mc, obs.astype(jnp.uint8), ready)
+        traj_pi = row_set(state.traj_pi, mc, pi, ready)
+        traj_player = row_set(
+            state.traj_player, mc, root_states.next_player, ready
+        )
+        move_count = state.move_count + ready.astype(jnp.int32)
+
+        adv_tree, adv_done, adv_need = self.mcts.advance_raw(tree, action)
+
+        def pick(new, old):
+            m = ready.reshape(ready.shape + (1,) * (old.ndim - 1))
+            return jnp.where(m, new, old)
+
+        tree = jax.tree_util.tree_map(pick, adv_tree, tree)
+        done = adv_done & ready
+        need_expand = ready & adv_need
+
+        state = state.replace(
+            tree=tree,
+            traj_obs=traj_obs,
+            traj_pi=traj_pi,
+            traj_player=traj_player,
+            move_count=move_count,
+        )
+        return state, ready, done, need_expand
+
+    def _label_done(self, state: ActorState, done):
+        """(win_z[B, T], own_z[B, T, n]) terminal labels
+        (self_play.py:929-940); only meaningful where ``done``."""
+        b = done.shape[0]
+        final_states = gather_nodes(state.tree, state.tree.root)
+        winner = self.engine.winner(final_states)
+        _, territory = self.engine.score_and_territory(final_states)
+        t_idx = jnp.arange(self.max_moves)[None, :]
+        played = t_idx < state.move_count[:, None]
+        win_z = jnp.where(
+            state.traj_player == winner[:, None], 1.0, -1.0
+        ) * played
+        black_mover = state.traj_player == BLACK
+        own_z = jnp.where(
+            black_mover[:, :, None], territory[:, None, :],
+            -territory[:, None, :],
+        ) * played[:, :, None]
+        return win_z, own_z
+
+    def _finish_move_setup(self, state: ActorState, moved, done, knoise):
+        """Root noise + fresh visit target for boards starting a new move."""
+        b = moved.shape[0]
+        bar = jnp.arange(b)
+        tree = self.mcts.root_dirichlet(state.tree, knoise, mask=moved)
+        root_visits = tree.stats[bar, tree.root, VISIT]
+        visit_target = jnp.where(
+            done,
+            0.0,  # idle until reset
+            jnp.where(
+                moved,
+                root_visits + self.mcts.num_simulations,
+                state.visit_target,
+            ),
+        )
+        return state.replace(
+            tree=tree,
+            visit_target=visit_target,
+            move_rounds=jnp.where(moved, 0, state.move_rounds),
+        )
+
+    def play_tick(self, state: ActorState,
+                  variables) -> Tuple[ActorState, TickOut]:
+        """Continuous self-play, host-drained variant: one search round per
+        tick, with *per-board* move boundaries. A board plays its move the
+        tick its own root hits the visit target — no board ever waits for
+        the batch's slowest searcher, which is what flattens ``play_move``
+        throughput at large B (every move there costs max-over-boards
+        rounds; here the cost averages out across a game). Search semantics
+        per move are identical to ``play_move``: same visit target
+        (num_simulation new root visits, self_play.py:662-664), same round
+        cap, same noise/temperature/pi rules.
+
+        NOTE: each call costs a host round trip; production uses
+        :meth:`run_chunk`, which scans this tick body on device and appends
+        finished games straight into the device replay ring. Pure — jit at
+        the call site."""
+        b = state.move_count.shape[0]
+        bar = jnp.arange(b)
+        eval_fn = self._eval_fn(variables)
+        key, kround, ksample, knoise = jax.random.split(state.rng, 4)
+        state = state.replace(rng=key)
+
+        state, ready, done, need_expand = self._move_phase(state, ksample)
+        state = state.replace(
+            tree=self.mcts._expand_roots(state.tree, eval_fn, need_expand)
+        )
+        state = self._finish_move_setup(state, ready & ~done, done, knoise)
+
+        win_z, own_z = jax.lax.cond(
+            jnp.any(done),
+            lambda _: self._label_done(state, done),
+            lambda _: (
+                jnp.zeros((b, self.max_moves), jnp.float32),
+                jnp.zeros((b, self.max_moves, self.own_dim), jnp.float32),
+            ),
+            None,
+        )
+        order = jnp.argsort(~done)
+
+        # ---- search phase: one round for boards still below target ----
+        tree = state.tree
+        active = (
+            tree.stats[bar, tree.root, VISIT] < state.visit_target
+        ) & ~done
+        tree = self.mcts.run_round(tree, eval_fn, kround, active)
+        state = state.replace(
+            tree=tree,
+            move_rounds=state.move_rounds + active.astype(jnp.int32),
+        )
+        return state, TickOut(
+            done, state.move_count, win_z, own_z, order, ready
+        )
+
+    # ------------------------------------------------------------------
+    def run_chunk(self, state: ActorState, dreplay, variables):
+        """The production continuous loop: ``chunk_ticks`` fused ticks under
+        one jit — move phase, on-device game reset, and device-replay append
+        of finished games all inside a lax.scan, so the host syncs once per
+        chunk (three scalars) instead of once per search round. This is what
+        makes continuous mode pay off through a high-latency device link.
+
+        Returns (state, dreplay, stats) with stats = {games, moves,
+        dropped} int32 scalars accumulated over the chunk. ``dropped``
+        counts finished games beyond the per-tick append budget (never
+        expected in practice; reported, not silent)."""
+        from transgo_tpu.runtime.device_replay import append_chunk
+
+        b = self.batch
+        bar = jnp.arange(b)
+        eval_fn = self._eval_fn(variables)
+        # per-tick append budget: expected game-ends per tick is about
+        # B / (rounds_per_move * game_length) — give it ~30x headroom
+        d = min(b, max(16, b // 64))
+
+        def tick(carry, _):
+            state, dreplay, games, moves, dropped = carry
+            key, kround, ksample, knoise, kgames = jax.random.split(
+                state.rng, 5
+            )
+            state = state.replace(rng=key)
+
+            state, ready, done, need_expand = self._move_phase(
+                state, ksample
+            )
+
+            def on_done(op):
+                state, dreplay = op
+                win_z, own_z = self._label_done(state, done)
+                # compact finished boards to the front, take the first d
+                order = jnp.argsort(~done)[:d]
+                t_idx = jnp.arange(self.max_moves)[None, :]
+                valid = done[order][:, None] & (
+                    t_idx < state.move_count[order][:, None]
+                )
+                dreplay = append_chunk(
+                    dreplay,
+                    state.traj_obs[order],
+                    state.traj_pi[order],
+                    win_z[order],
+                    own_z[order],
+                    valid,
+                )
+                # fresh games on the finished boards, searched immediately
+                state = state.replace(
+                    tree=self._fresh_roots(state.tree, done, kgames),
+                    move_count=jnp.where(done, 0, state.move_count),
+                )
+                return state, dreplay
+
+            state, dreplay = jax.lax.cond(
+                jnp.any(done), on_done, lambda op: op, (state, dreplay)
+            )
+            # one batched root eval for advance sites + reset sites
+            state = state.replace(
+                tree=self.mcts._expand_roots(
+                    state.tree, eval_fn, need_expand | done
+                )
+            )
+            state = self._finish_move_setup(
+                state, ready, jnp.zeros_like(done), knoise
+            )
+
+            tree = state.tree
+            active = (
+                tree.stats[bar, tree.root, VISIT] < state.visit_target
+            )
+            tree = self.mcts.run_round(tree, eval_fn, kround, active)
+            state = state.replace(
+                tree=tree,
+                move_rounds=state.move_rounds + active.astype(jnp.int32),
+            )
+
+            n_done = jnp.sum(done.astype(jnp.int32))
+            return (
+                state,
+                dreplay,
+                games + n_done,
+                moves + jnp.sum(ready.astype(jnp.int32)),
+                dropped + jnp.maximum(0, n_done - d),
+            ), None
+
+        zero = jnp.int32(0)
+        (state, dreplay, games, moves, dropped), _ = jax.lax.scan(
+            tick, (state, dreplay, zero, zero, zero), None,
+            length=self.chunk_ticks,
+        )
+        return state, dreplay, {
+            "games": games, "moves": moves, "dropped": dropped
+        }
 
     # ------------------------------------------------------------------
     def drain_chunk(self, state: ActorState, out: TickOut,
@@ -192,13 +466,10 @@ class SelfPlayActor:
         )
 
     # ------------------------------------------------------------------
-    def reset_done(self, state: ActorState, variables,
-                   done: jnp.ndarray) -> ActorState:
-        """Start fresh games on finished boards (reset_root per game,
-        self_play.py:910)."""
+    def _fresh_roots(self, tree, done: jnp.ndarray, kgames):
+        """Replace done boards' trees with a fresh single-root tree holding
+        a new game (no root evaluation — caller batches the expand)."""
         b = done.shape[0]
-        key, kgames = jax.random.split(state.rng)
-        state = state.replace(rng=key)
         fresh = self.mcts.new_tree(b)
         fresh_states = self._init_games(b, kgames)
 
@@ -206,7 +477,7 @@ class SelfPlayActor:
             d = done.reshape(done.shape + (1,) * (old.ndim - done.ndim))
             return jnp.where(d, new, old)
 
-        tree = jax.tree_util.tree_map(pick, fresh, state.tree)
+        tree = jax.tree_util.tree_map(pick, fresh, tree)
         # done boards: allocate slot 0 as root holding a fresh board
         tree = tree.replace(
             node_count=jnp.where(done, 1, tree.node_count),
@@ -220,15 +491,34 @@ class SelfPlayActor:
             B = done.reshape(done.shape + (1,) * (src.ndim - done.ndim))
             return dst.at[bar, root0].set(jnp.where(B, src, cur))
 
-        tree = tree.replace(
+        return tree.replace(
             states=jax.tree_util.tree_map(
                 lambda d, s: wr(d, s), tree.states, fresh_states
             )
         )
+
+    def reset_done(self, state: ActorState, variables,
+                   done: jnp.ndarray) -> ActorState:
+        """Start fresh games on finished boards (reset_root per game,
+        self_play.py:910)."""
+        b = done.shape[0]
+        bar = jnp.arange(b)
+        key, kgames, knoise = jax.random.split(state.rng, 3)
+        state = state.replace(rng=key)
+        tree = self._fresh_roots(state.tree, done, kgames)
         tree = self.mcts._expand_roots(
             tree, self._eval_fn(variables), done
         )
+        if self.continuous:
+            tree = self.mcts.root_dirichlet(tree, knoise, mask=done)
         return state.replace(
             tree=tree,
             move_count=jnp.where(done, 0, state.move_count),
+            visit_target=jnp.where(
+                done,
+                tree.stats[bar, tree.root, VISIT]
+                + self.mcts.num_simulations,
+                state.visit_target,
+            ),
+            move_rounds=jnp.where(done, 0, state.move_rounds),
         )

@@ -121,8 +121,21 @@ class TrainPipeline:
         self.evaluate_score = cfg.init_evaluate_score
         self.tick = 0
 
-        # jitted entry points
-        self._jit_play = jax.jit(self.actor.play_move)
+        # jitted entry points (continuous mode: per-board move boundaries —
+        # one search round per tick, each board moves when its own visit
+        # target is hit; see SelfPlayActor.play_tick/run_chunk)
+        self._jit_play = jax.jit(
+            self.actor.play_tick if self.actor.continuous
+            else self.actor.play_move
+        )
+        self._jit_chunk = None
+        if self.actor.continuous and self.use_device_replay:
+            # the fused production loop: chunk_ticks rounds + on-device game
+            # reset + replay append per device call; donate the actor state
+            # and the ring so both update in place
+            self._jit_chunk = jax.jit(
+                self.actor.run_chunk, donate_argnums=(0, 1)
+            )
         self._jit_drain = jax.jit(self.actor.drain_chunk,
                                   static_argnums=())
         self._jit_reset = jax.jit(self.actor.reset_done)
@@ -218,8 +231,27 @@ class TrainPipeline:
         """One pipeline tick: B moves of self-play + catch-up training."""
         cfg = self.config
         variables = self.learner.variables(self.train_state)
-        self.actor_state, out = self._jit_play(self.actor_state, variables)
-        b = cfg.selfplay_batch
+        if self._jit_chunk is not None:
+            # fused continuous chunk: games finished and appended on device
+            self.actor_state, self.dreplay, stats = self._jit_chunk(
+                self.actor_state, self.dreplay, variables
+            )
+            b = int(np.asarray(stats["moves"]))
+            n_done = int(np.asarray(stats["games"]))
+            dropped = int(np.asarray(stats["dropped"]))
+            if dropped:
+                self.logger.console(
+                    f"[warn] {dropped} finished games exceeded the per-tick "
+                    "append budget and were dropped"
+                )
+            out = None
+        else:
+            self.actor_state, out = self._jit_play(self.actor_state, variables)
+            if self.actor.continuous:
+                # per-board move boundaries: only some boards moved this tick
+                b = int(np.asarray(out.moved).sum())
+            else:
+                b = cfg.selfplay_batch
         prev_steps = self.now_play_steps
         self.now_play_steps += b
         # ratio ramp, applied per play step (shared_storage.py:38-43)
@@ -229,19 +261,21 @@ class TrainPipeline:
                 2.6 / 10, self.train_play_ratio + crossings * 1e-5
             )
 
-        done = np.asarray(out.done)
-        n_done = int(done.sum())
+        if out is not None:
+            done = np.asarray(out.done)
+            n_done = int(done.sum())
         if n_done:
-            for off in range(0, n_done, self.actor.drain_size):
-                chunk = self._jit_drain(
-                    self.actor_state, out, jnp.int32(off)
-                )
-                if self.use_device_replay:
-                    self.dreplay = self._jit_append(
-                        self.dreplay, chunk, jnp.int32(n_done - off)
+            if out is not None:
+                for off in range(0, n_done, self.actor.drain_size):
+                    chunk = self._jit_drain(
+                        self.actor_state, out, jnp.int32(off)
                     )
-                else:
-                    self._append_games(chunk, n_done - off)
+                    if self.use_device_replay:
+                        self.dreplay = self._jit_append(
+                            self.dreplay, chunk, jnp.int32(n_done - off)
+                        )
+                    else:
+                        self._append_games(chunk, n_done - off)
             # LR halving per game (shared_storage.py:33-35)
             for _ in range(n_done):
                 if cfg.adjust_lr:
@@ -249,9 +283,10 @@ class TrainPipeline:
                         self.now_play_games, self.learn_rate
                     )
                 self.now_play_games += 1
-            self.actor_state = self._jit_reset(
-                self.actor_state, variables, out.done
-            )
+            if out is not None:
+                self.actor_state = self._jit_reset(
+                    self.actor_state, variables, out.done
+                )
 
         # catch-up training (the deterministic version of the two throttle
         # loops)

@@ -608,9 +608,12 @@ class MCTS:
         return tree
 
     # ------------------------------------------------------------------
-    def root_dirichlet(self, tree: Tree, key) -> Tree:
+    def root_dirichlet(self, tree: Tree, key,
+                       mask: Optional[jnp.ndarray] = None) -> Tree:
         """Mix Dirichlet(alpha) noise into root priors over legal children
-        (dirichlet_prior, self_play.py:90-95)."""
+        (dirichlet_prior, self_play.py:90-95). ``mask`` bool[B] restricts
+        the mix to a subset of boards (continuous mode noises each board's
+        root when *its* move begins, not at a batch-wide move boundary)."""
         b, m, a = tree.shape
         bar = jnp.arange(b)
         cfg = self.config
@@ -626,6 +629,8 @@ class MCTS:
             prior * (1.0 - cfg.dirichlet_frac) + noise * cfg.dirichlet_frac,
             prior,
         )
+        if mask is not None:
+            mixed = jnp.where(mask[:, None], mixed, prior)
         return tree.replace(
             edge_prior=tree.edge_prior.at[bar, tree.root].set(mixed)
         )
@@ -717,6 +722,17 @@ class MCTS:
         Returns (tree, done[B]). Boards whose chosen child was never
         allocated get a fresh root stepped from the old root state.
         """
+        new_tree, done, need_expand = self.advance_raw(tree, action)
+        new_tree = self._expand_roots(new_tree, eval_fn, need_expand)
+        return new_tree, done
+
+    def advance_raw(
+        self, tree: Tree, action: jnp.ndarray
+    ) -> Tuple[Tree, jnp.ndarray, jnp.ndarray]:
+        """``advance`` without the root evaluation: returns
+        (tree, done[B], need_expand[B]) so a fused caller can batch the
+        expansion eval of several advance/reset sites into one network
+        call (the continuous actor's per-tick move phase)."""
         b, m, a = tree.shape
         bar = jnp.arange(b)
         old_root_states = gather_nodes(tree, tree.root)
@@ -782,5 +798,4 @@ class MCTS:
         # keep inherited root states authoritative: the reused child's stored
         # state is identical to `stepped` (deterministic engine)
         need_expand = ~new_tree.expanded[bar, new_tree.root]
-        new_tree = self._expand_roots(new_tree, eval_fn, need_expand)
-        return new_tree, done
+        return new_tree, done, need_expand
