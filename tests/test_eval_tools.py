@@ -63,3 +63,36 @@ def test_arena_match_smoke():
     )
     assert score == (200 if ratio == 1.0 else 100)
     assert promote == (ratio == 1.0)
+
+
+@pytest.mark.slow
+def test_strength_cli_gate(tmp_path):
+    """`transgo_tpu.cli strength` loads a policy checkpoint, plays the two
+    gate arenas (vs random bot, vs fresh init) and returns PASS/FAIL."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from transgo_tpu import cli
+    from transgo_tpu.config import Config
+    from transgo_tpu.models import build_network
+
+    cfg = Config(board_size=5, num_features=8, max_step=10)
+    net = build_network(cfg, "main")
+    v = net.init(jax.random.PRNGKey(0))
+    ckpt = (tmp_path / "policy").absolute()
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(
+        ckpt, {"params": v["params"], "batch_stats": v["batch_stats"]}
+    )
+    checkpointer.wait_until_finished()
+
+    # a fresh-init "trained" net won't clear the gates; the command must
+    # run both arenas and exit nonzero (FAIL) rather than crash
+    with pytest.raises(SystemExit) as exc:
+        cli.main([
+            "strength", "--checkpoint", str(ckpt),
+            "--games", "2", "--sims", "4",
+            "--board-size", "5", "--features", "8", "--max-step", "10",
+            "--min-vs-random", "1.1",  # unreachable -> deterministic FAIL
+        ])
+    assert exc.value.code == 1

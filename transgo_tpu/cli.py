@@ -58,14 +58,25 @@ def cmd_gtp(args):
     gtp_main()
 
 
+def _load_policy(path):
+    """Restore {params, batch_stats} from a bare policy dir or a full
+    pipeline checkpoint (params/batch_stats/opt_state/counters/...)."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(Path(path).absolute())
+    return {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }
+
+
 def cmd_elo(args):
     """Round-robin ladder over saved checkpoints -> MLE Elo table
     (reference elo.py:96-109)."""
-    from pathlib import Path
-
     import jax
     import numpy as np
-    import orbax.checkpoint as ocp
 
     from transgo_tpu.config import Config
     from transgo_tpu.eval.arena import Arena
@@ -78,16 +89,7 @@ def cmd_elo(args):
     engine = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
     mcts = MCTS(cfg, engine, SearchMode.WP)
     net = build_network(cfg, "main")
-    checkpointer = ocp.StandardCheckpointer()
-    pool = []
-    for p in args.checkpoints:
-        # accept both bare policy dirs ({params, batch_stats}) and full
-        # pipeline checkpoints (params/batch_stats/opt_state/counters/...)
-        restored = checkpointer.restore(Path(p).absolute())
-        pool.append({
-            "params": restored["params"],
-            "batch_stats": restored["batch_stats"],
-        })
+    pool = [_load_policy(p) for p in args.checkpoints]
     k = len(pool)
     wins = np.zeros((k, k))
     arena = Arena(cfg, mcts, net)
@@ -122,6 +124,53 @@ def cmd_smoke(args):
     )
     print(f"model vs random: {res.win_ratio:.2f} "
           f"({int(res.model_wins.sum())}/{args.games})")
+
+
+def cmd_strength(args):
+    """Strength regression gate for a trained checkpoint: the policy must
+    beat the random bot and a fresh-initialized net. Run after any long
+    training session (the reference had no such harness — SURVEY.md
+    section 4 'statistical evaluation as testing')."""
+    import jax
+
+    from transgo_tpu.config import Config
+    from transgo_tpu.eval.arena import Arena
+    from transgo_tpu.eval.smoke import evaluate_vs_random
+    from transgo_tpu.models import build_network
+    from transgo_tpu.ops import GoEngine
+    from transgo_tpu.search.mcts import MCTS, SearchMode
+
+    cfg = Config(
+        num_simulation=args.sims,
+        board_size=args.board_size,
+        num_features=args.features,
+        max_step=args.max_step or (args.board_size ** 2 + 39),
+    )
+    engine = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+    mcts = MCTS(cfg, engine, SearchMode.WP)
+    net = build_network(cfg, "main")
+    trained = _load_policy(args.checkpoint)
+    fresh = net.init(jax.random.PRNGKey(args.seed + 1))
+    key = jax.random.PRNGKey(args.seed)
+    k_rand, k_fresh = jax.random.split(key)
+
+    res = evaluate_vs_random(cfg, mcts, net, trained, args.games, k_rand)
+    arena = Arena(cfg, mcts, net)
+    match = arena.play_match(trained, fresh, args.games, k_fresh)
+    vs_fresh = float(match.challenger_wins.mean())
+
+    ok_rand = res.win_ratio >= args.min_vs_random
+    ok_fresh = vs_fresh >= args.min_vs_fresh
+    print(f"vs random bot : {res.win_ratio:.2f} "
+          f"({int(res.model_wins.sum())}/{args.games}) "
+          f"[gate >= {args.min_vs_random:.2f}] "
+          f"{'PASS' if ok_rand else 'FAIL'}")
+    print(f"vs fresh init : {vs_fresh:.2f} "
+          f"({int(match.challenger_wins.sum())}/{args.games}) "
+          f"[gate >= {args.min_vs_fresh:.2f}] "
+          f"{'PASS' if ok_fresh else 'FAIL'}")
+    print("strength:", "PASS" if ok_rand and ok_fresh else "FAIL")
+    return 0 if (ok_rand and ok_fresh) else 1
 
 
 def main(argv=None):
@@ -159,6 +208,17 @@ def main(argv=None):
     m.add_argument("--sims", type=int, default=50)
     m.add_argument("--seed", type=int, default=0)
 
+    st = sub.add_parser("strength")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--games", type=int, default=16)
+    st.add_argument("--sims", type=int, default=50)
+    st.add_argument("--seed", type=int, default=0)
+    st.add_argument("--min-vs-random", type=float, default=0.9)
+    st.add_argument("--min-vs-fresh", type=float, default=0.6)
+    st.add_argument("--board-size", type=int, default=9)
+    st.add_argument("--features", type=int, default=128)
+    st.add_argument("--max-step", type=int, default=120)
+
     args = ap.parse_args(argv)
     if args.cmd == "train":
         cmd_train(args)
@@ -172,6 +232,8 @@ def main(argv=None):
         cmd_elo(args)
     elif args.cmd == "smoke":
         cmd_smoke(args)
+    elif args.cmd == "strength":
+        raise SystemExit(cmd_strength(args))
 
 
 if __name__ == "__main__":
