@@ -326,9 +326,9 @@ class GoEngine:
         )
         reach = reachability(spec, linked)                # [B, n, n]
         reach = reach & is_empty[:, :, None]
-        mm_dtype = (
-            jnp.bfloat16 if spec.num_points <= 256 else jnp.float32
-        )
+        # boolean operands accumulate exactly in f32 at any board size
+        # (ops/groups.reachability docstring), so bf16 inputs are safe
+        mm_dtype = jnp.bfloat16
         m = jnp.matmul(
             reach.astype(mm_dtype), spec.ADJ[None].astype(mm_dtype),
             preferred_element_type=jnp.float32,

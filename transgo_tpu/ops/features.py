@@ -93,7 +93,7 @@ def live_stone_mask(
     own = stones == color
 
     # cand[b, i, e]: e is a true eye of `color` adjacent to i's group
-    mm_dtype = jnp.bfloat16 if n <= 256 else jnp.float32
+    mm_dtype = jnp.bfloat16  # boolean operands: exact at any n (ops/groups)
     m = jnp.matmul(
         g.reach.astype(mm_dtype), spec.ADJ[None].astype(mm_dtype),
         preferred_element_type=jnp.float32,

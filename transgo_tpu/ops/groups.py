@@ -114,13 +114,14 @@ def reachability(spec: BoardSpec, linked: jnp.ndarray) -> jnp.ndarray:
     9x9, which the systolic array does in microseconds, vs the multi-ms
     per-point gather loops it replaces.
 
-    Operands are bf16 when n <= 256 (products of {0,1} accumulate in f32 on
-    the MXU regardless of input dtype, and the thresholded comparison only
-    needs "is the sum nonzero", which f32 accumulation answers exactly);
-    larger boards use f32 inputs.
+    Operands are always bf16: every entry is exactly 0.0 or 1.0 (both
+    representable in bf16), products accumulate in f32 on the MXU
+    (``preferred_element_type``), and path counts are bounded by n <= 361,
+    far inside f32's exact-integer range — so the ``> 0.5`` nonzero test is
+    exact at every board size while the matmuls run at full bf16 rate.
     """
     n = spec.num_points
-    dtype = jnp.bfloat16 if n <= 256 else jnp.float32
+    dtype = jnp.bfloat16
     eye = jnp.eye(n, dtype=dtype)
     r = linked.astype(dtype) + eye
 
@@ -160,7 +161,8 @@ def group_stats(spec: BoardSpec, stones: jnp.ndarray,
     is_stone = stones > EMPTY
     is_empty = stones == EMPTY
     reach = stone_reachability(spec, stones)
-    mm_dtype = jnp.bfloat16 if n <= 256 else jnp.float32
+    # boolean operands: bf16 is exact at any n (see reachability docstring)
+    mm_dtype = jnp.bfloat16
     reach_f = reach.astype(mm_dtype)
 
     stone_size = jnp.sum(reach, axis=2).astype(jnp.int32)

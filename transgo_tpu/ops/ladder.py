@@ -100,7 +100,7 @@ class LadderReader:
         member = g.reach[bar, anchor] & (
             stones == victim[:, None]
         )                                                   # [B, n]
-        mm_dtype = jnp.bfloat16 if n <= 256 else jnp.float32
+        mm_dtype = jnp.bfloat16  # boolean operands: exact at any n (ops/groups)
         adj = (
             jnp.matmul(
                 member.astype(mm_dtype)[:, None, :],
