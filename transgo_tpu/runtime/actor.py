@@ -483,13 +483,10 @@ class SelfPlayActor:
             node_count=jnp.where(done, 1, tree.node_count),
             root=jnp.where(done, 0, tree.root),
         )
-        bar = jnp.arange(b)
-        root0 = jnp.zeros((b,), jnp.int32)
-
         def wr(dst, src):
-            cur = dst[bar, root0]
+            # static slot-0 write (dynamic-update-slice, fuses cleanly)
             B = done.reshape(done.shape + (1,) * (src.ndim - done.ndim))
-            return dst.at[bar, root0].set(jnp.where(B, src, cur))
+            return dst.at[:, 0].set(jnp.where(B, src, dst[:, 0]))
 
         return tree.replace(
             states=jax.tree_util.tree_map(

@@ -157,36 +157,30 @@ class MCTS:
         prior = jnp.where(legal, policy, 0.0) / jnp.maximum(scale, 1e-12)
 
         do = need & ~tree.terminal[bar, root]
-        dm = do[:, None]
+        # one-hot masked root-row rewrites (see _path_onehot comment)
+        m = tree.stats.shape[1]
+        ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        ohr = (ids_m == root[:, None]) & do[:, None]              # [B, M]
+        ohc = ohr[:, :, None]
         tree = tree.replace(
-            edge_prior=tree.edge_prior.at[bar, root].set(
-                jnp.where(dm, prior, tree.edge_prior[bar, root])
+            edge_prior=jnp.where(ohc, prior[:, None, :], tree.edge_prior),
+            legal=jnp.where(ohc, legal[:, None, :], tree.legal),
+            node_libs=jnp.where(
+                ohc,
+                analysis.groups.stone_libs.astype(jnp.int16)[:, None, :],
+                tree.node_libs,
             ),
-            legal=tree.legal.at[bar, root].set(
-                jnp.where(dm, legal, tree.legal[bar, root])
+            node_size=jnp.where(
+                ohc,
+                analysis.groups.stone_size.astype(jnp.int16)[:, None, :],
+                tree.node_size,
             ),
-            node_libs=tree.node_libs.at[bar, root].set(
-                jnp.where(
-                    dm, analysis.groups.stone_libs.astype(jnp.int16),
-                    tree.node_libs[bar, root],
-                )
+            init_value=jnp.where(
+                ohr,
+                0.0 if self.child_init_zero else -value[:, None],
+                tree.init_value,
             ),
-            node_size=tree.node_size.at[bar, root].set(
-                jnp.where(
-                    dm, analysis.groups.stone_size.astype(jnp.int16),
-                    tree.node_size[bar, root],
-                )
-            ),
-            init_value=tree.init_value.at[bar, root].set(
-                jnp.where(
-                    do,
-                    0.0 if self.child_init_zero else -value,
-                    tree.init_value[bar, root],
-                )
-            ),
-            expanded=tree.expanded.at[bar, root].set(
-                do | tree.expanded[bar, root]
-            ),
+            expanded=tree.expanded | ohr,
         )
         return tree
 
@@ -254,12 +248,23 @@ class MCTS:
         ).astype(jnp.int32)
 
     # ------------------------------------------------------------------
-    # Path-based updates: the descent records the visited node chain, so
-    # every backup/incomplete/revert is ONE gather + ONE scatter over the
-    # [B, D] path matrix instead of a depth-long while_loop of tiny scatter
-    # kernels (the reference's per-node Python walks, self_play.py:758-774).
-    # Path nodes are unique within a row (it's a tree path), so
-    # gather-compute-scatter is exact.
+    # Path-based updates: the descent records the visited node chain, and
+    # every backup/incomplete/revert is applied as a ONE-HOT MASKED rewrite
+    # of the packed stats array. Row scatters with computed [B, D] indices
+    # lower to sort-based scatter kernels on TPU that rewrite (and re-read)
+    # far more than the touched rows; a broadcast compare
+    # ``path[:, :, None] == iota(M)`` plus select/reduce instead fuses with
+    # the stats update into a single elementwise pass over [B, M, 5]
+    # (~1 MB at B=256) — measured ~10x less HBM traffic per round.
+    # Path nodes are unique within a row (it's a tree path), so reducing
+    # one-hot contributions over D is exact.
+
+    def _path_onehot(self, path: jnp.ndarray, active, m: int):
+        """(onpath bool[B, M], oh bool[B, D, M]) membership masks."""
+        valid = (path >= 0) & active[:, None]
+        ids = jnp.arange(m, dtype=path.dtype)
+        oh = (path[:, :, None] == ids[None, None, :]) & valid[:, :, None]
+        return jnp.any(oh, axis=1), oh
 
     def _backup(self, tree: Tree, path: jnp.ndarray, leaf_pos: jnp.ndarray,
                 value, active) -> Tree:
@@ -268,52 +273,54 @@ class MCTS:
         in WP mode (Node_V.value_mean_var, self_play.py:84-88)."""
         b, d = path.shape
         m = tree.stats.shape[1]
-        bar = jnp.arange(b)[:, None]
-        valid = (path >= 0) & active[:, None]
-        safe = jnp.clip(path, 0, m - 1)               # for gathers
-        # scatters route invalid slots out of bounds, where XLA drops them —
-        # clipping would collide with node 0 (usually the root)
-        scat = jnp.where(valid, path, m)
         t = jnp.arange(d)[None, :]
         sign = jnp.where((leaf_pos[:, None] - t) % 2 == 0, 1.0, -1.0)
         if not isinstance(value, jnp.ndarray):
             value = jnp.full((b,), value, jnp.float32)
         dv = sign * value[:, None]                    # node-local signed value
 
-        st = tree.stats[bar, safe]                    # [B, D, 5] one gather
-        vis_new = st[..., VISIT] + 1.0
-        vs_new = st[..., VSUM] + dv
+        onpath, oh = self._path_onehot(path, active, m)
+        # signed value landing on each path node (exact: rows are unique)
+        dv_m = jnp.sum(jnp.where(oh, dv[:, :, None], 0.0), axis=1)  # [B, M]
+
+        st = tree.stats
+        vis = st[..., VISIT]
+        vs = st[..., VSUM]
+        vis_new = jnp.where(onpath, vis + 1.0, vis)
+        vs_new = jnp.where(onpath, vs + dv_m, vs)
         if self.mode == SearchMode.WP:
-            mean_new = vs_new / (vis_new + 1.0)
-            var_new = st[..., VVAR] + (dv - st[..., VMEAN]) * (dv - mean_new)
+            mean_new = jnp.where(onpath, vs_new / (vis_new + 1.0),
+                                 st[..., VMEAN])
+            var_new = jnp.where(
+                onpath,
+                st[..., VVAR]
+                + (dv_m - st[..., VMEAN]) * (dv_m - mean_new),
+                st[..., VVAR],
+            )
         else:
             mean_new = st[..., VMEAN]
             var_new = st[..., VVAR]
         new_st = jnp.stack(
             [vis_new, vs_new, st[..., ONS], mean_new, var_new], axis=-1
         )
-        return tree.replace(
-            stats=tree.stats.at[bar, scat].set(new_st, mode="drop")
-        )
+        return tree.replace(stats=new_st)
 
     def _incomplete(self, tree: Tree, path: jnp.ndarray, active,
                     sign: float) -> Tree:
         """In-flight path marking: classic adds a (non-alternating) virtual
         loss to value_sum (self_play.py:514-532); WU/WP bump ``ons``
         (self_play.py:767-774)."""
-        b, d = path.shape
         m = tree.stats.shape[1]
-        bar = jnp.arange(b)[:, None]
-        valid = (path >= 0) & active[:, None]
-        scat = jnp.where(valid, path, m)              # OOB slots are dropped
         lane = VSUM if self.mode == SearchMode.CLASSIC else ONS
         delta = (
             sign * self.virtual_loss
             if self.mode == SearchMode.CLASSIC
             else sign * self.wu_loss
         )
+        onpath, _ = self._path_onehot(path, active, m)
+        lane_new = tree.stats[..., lane] + jnp.where(onpath, delta, 0.0)
         return tree.replace(
-            stats=tree.stats.at[bar, scat, lane].add(delta, mode="drop")
+            stats=tree.stats.at[..., lane].set(lane_new)
         )
 
     # ------------------------------------------------------------------
@@ -331,8 +338,16 @@ class MCTS:
         """One leaf selection per board.
 
         Returns (tree, leaf_idx[B], needs_eval[B], path[B, D], leaf_pos[B],
-        obs[B, h, w, C]) with terminal leaves already backed up and
-        incomplete updates applied to eval leaves.
+        stepped GoState, alloc[B], slot[B]) with terminal leaves already
+        backed up and incomplete updates applied to eval leaves.
+
+        The leaf's board analysis, legal mask, and observation are NOT
+        computed here: nothing in a later descent of the same round can read
+        them (selection cannot enter an unexpanded node), so ``run_round``
+        defers them to ONE batched call over all L*B leaves — four sequential
+        reachability/encoder passes at batch B become one at 4B, which both
+        shortens the round's dependency chain and feeds the MXU bigger
+        matmuls.
         """
         b, m, a = tree.shape
         bar = jnp.arange(b)
@@ -409,79 +424,47 @@ class MCTS:
             ).astype(jnp.float32),
             lambda: jnp.zeros((b,), jnp.float32),
         )
-        leaf_analysis = self.engine.analyze(stepped)
-        leaf_legal = self.engine.legal_action_mask(stepped, leaf_analysis)
-        obs = self.encoder(stepped, leaf_analysis)
+        # one-hot masked slot initialisation: every per-node array takes ONE
+        # fused elementwise pass instead of a sort-based scatter (see the
+        # path-update comment above _path_onehot). Slots may hold stale data
+        # after subtree compaction, so the full row is rewritten.
+        ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        ohn = (ids_m == safe_new[:, None]) & al[:, None]          # [B, M]
+        ids_a = jnp.arange(a, dtype=jnp.int32)[None, :]
+        # the parent's (par, act) edge gains the new child pointer
+        ohp = (
+            (ids_m == par[:, None])[:, :, None]
+            & (ids_a == act[:, None])[:, None, :]
+            & al[:, None, None]
+        )                                                          # [B, M, A]
+        seed = tree.init_value[bar, par]                           # child-Q
+        new_row = jnp.stack(
+            [jnp.zeros_like(seed), seed, jnp.zeros_like(seed),
+             jnp.zeros_like(seed), jnp.zeros_like(seed)], axis=-1
+        )                                                          # [B, 5]
+
+        def row1(dst, v):                      # [B, M] <- per-board scalar v
+            return jnp.where(ohn, v[:, None] if v.ndim == 1 else v, dst)
 
         tree = tree.replace(
             node_count=tree.node_count + al.astype(jnp.int32),
-            stats=tree.stats.at[bar, safe_new].set(
-                jnp.where(
-                    al[:, None],
-                    jnp.stack(
-                        [
-                            jnp.zeros_like(tree.init_value[bar, par]),
-                            tree.init_value[bar, par],  # child-Q seed
-                            jnp.zeros_like(tree.init_value[bar, par]),
-                            jnp.zeros_like(tree.init_value[bar, par]),
-                            jnp.zeros_like(tree.init_value[bar, par]),
-                        ],
-                        axis=-1,
-                    ),
-                    tree.stats[bar, safe_new],
-                )
+            stats=jnp.where(ohn[:, :, None], new_row[:, None, :], tree.stats),
+            init_value=jnp.where(ohn, 0.0, tree.init_value),
+            expanded=tree.expanded & ~ohn,
+            terminal=row1(tree.terminal, done),
+            terminal_value=row1(tree.terminal_value, term_value),
+            parent=row1(tree.parent, par),
+            parent_action=row1(tree.parent_action, act),
+            # new slot's edge row cleared + parent edge set, one fused pass
+            edge_child=jnp.where(
+                ohp, new_idx[:, None, None],
+                jnp.where(ohn[:, :, None], NULL, tree.edge_child),
             ),
-            init_value=tree.init_value.at[bar, safe_new].set(
-                jnp.where(al, 0.0, tree.init_value[bar, safe_new])
-            ),
-            expanded=tree.expanded.at[bar, safe_new].set(
-                jnp.where(al, False, tree.expanded[bar, safe_new])
-            ),
-            terminal=tree.terminal.at[bar, safe_new].set(
-                jnp.where(al, done, tree.terminal[bar, safe_new])
-            ),
-            terminal_value=tree.terminal_value.at[bar, safe_new].set(
-                jnp.where(al, term_value, tree.terminal_value[bar, safe_new])
-            ),
-            parent=tree.parent.at[bar, safe_new].set(
-                jnp.where(al, par, tree.parent[bar, safe_new])
-            ),
-            parent_action=tree.parent_action.at[bar, safe_new].set(
-                jnp.where(al, act, tree.parent_action[bar, safe_new])
-            ),
-            edge_child=tree.edge_child.at[bar, par, act].set(
-                jnp.where(al, new_idx, tree.edge_child[bar, par, act])
-            ),
+            edge_prior=jnp.where(ohn[:, :, None], 0.0, tree.edge_prior),
         )
-        # clear the new node's edge row + write legal set and group caches
-        tree = tree.replace(
-            edge_child=tree.edge_child.at[bar, safe_new].set(
-                jnp.where(
-                    al[:, None], NULL, tree.edge_child[bar, safe_new]
-                )
-            ),
-            edge_prior=tree.edge_prior.at[bar, safe_new].set(
-                jnp.where(al[:, None], 0.0, tree.edge_prior[bar, safe_new])
-            ),
-            legal=tree.legal.at[bar, safe_new].set(
-                jnp.where(al[:, None], leaf_legal, tree.legal[bar, safe_new])
-            ),
-            node_libs=tree.node_libs.at[bar, safe_new].set(
-                jnp.where(
-                    al[:, None],
-                    leaf_analysis.groups.stone_libs.astype(jnp.int16),
-                    tree.node_libs[bar, safe_new],
-                )
-            ),
-            node_size=tree.node_size.at[bar, safe_new].set(
-                jnp.where(
-                    al[:, None],
-                    leaf_analysis.groups.stone_size.astype(jnp.int16),
-                    tree.node_size[bar, safe_new],
-                )
-            ),
-        )
-        tree = write_node_states(tree, safe_new, stepped, al)
+        # (legal mask and group caches are batch-written by run_round after
+        # the descent scan)
+        tree = write_node_states(tree, safe_new, stepped, al, onehot=ohn)
 
         # complete the path with the leaf
         path = path.at[bar, leaf_pos].set(
@@ -495,7 +478,7 @@ class MCTS:
 
         needs_eval = active & ~is_term
         tree = self._incomplete(tree, path, needs_eval, +1.0)
-        return tree, safe_leaf, needs_eval, path, leaf_pos, obs
+        return tree, safe_leaf, needs_eval, path, leaf_pos, stepped, al, safe_new
 
     # ------------------------------------------------------------------
     def _complete(self, tree: Tree, leaf, needs, policy, value, path,
@@ -519,20 +502,20 @@ class MCTS:
             scale[:, None], 1e-12
         )
         setp = do & ok
+        # one-hot masked row rewrites (see _path_onehot comment)
+        ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        ohl = ids_m == leaf[:, None]                              # [B, M]
+        ohs = ohl & setp[:, None]
         tree = tree.replace(
-            edge_prior=tree.edge_prior.at[bar, leaf].set(
-                jnp.where(setp[:, None], prior, tree.edge_prior[bar, leaf])
+            edge_prior=jnp.where(
+                ohs[:, :, None], prior[:, None, :], tree.edge_prior
             ),
-            init_value=tree.init_value.at[bar, leaf].set(
-                jnp.where(
-                    setp,
-                    0.0 if self.child_init_zero else -value,
-                    tree.init_value[bar, leaf],
-                )
+            init_value=jnp.where(
+                ohs,
+                0.0 if self.child_init_zero else -value[:, None],
+                tree.init_value,
             ),
-            expanded=tree.expanded.at[bar, leaf].set(
-                do | tree.expanded[bar, leaf]
-            ),
+            expanded=tree.expanded | (ohl & do[:, None]),
         )
         return self._backup(tree, path, leaf_pos, value, do)
 
@@ -546,22 +529,52 @@ class MCTS:
         b = tree.shape[0]
 
         def descend_body(tree, i):
-            tree, leaf, need, path, leaf_pos, obs = self._descend(
+            tree, leaf, need, path, leaf_pos, stepped, al, slot = self._descend(
                 tree, jax.random.fold_in(key, i), active
             )
-            return tree, (leaf, need, path, leaf_pos, obs)
+            return tree, (leaf, need, path, leaf_pos, stepped, al, slot)
 
-        tree, (leaf_t, need_t, path_t, pos_t, obs_t) = jax.lax.scan(
-            descend_body, tree, jnp.arange(self.readouts)
+        tree, (leaf_t, need_t, path_t, pos_t, stepped_t, al_t, slot_t) = (
+            jax.lax.scan(descend_body, tree, jnp.arange(self.readouts))
         )                                           # *_t: [L, B, ...]
 
-        # batched evaluation of all leaves across all boards (observations
-        # were produced during the descents — no re-gather, no re-analysis)
-        obs = obs_t.reshape((self.readouts * b,) + obs_t.shape[2:])
-        flat_leaf = leaf_t.reshape(-1)              # L-major
-        rep = jnp.tile(jnp.arange(b), self.readouts)
-        to_play = tree.states.next_player[rep, flat_leaf]
-        policy, value = eval_fn(obs, to_play)
+        # ONE batched analysis/encoding of all L*B leaf states (deferred out
+        # of the scan — see _descend docstring), then scatter the legal masks
+        # and group caches into the slots the scan allocated
+        flat_states = jax.tree_util.tree_map(
+            lambda x: x.reshape((self.readouts * b,) + x.shape[2:]), stepped_t
+        )
+        leaf_analysis = self.engine.analyze(flat_states)
+        leaf_legal = self.engine.legal_action_mask(flat_states, leaf_analysis)
+        obs = self.encoder(flat_states, leaf_analysis)
+
+        # one-hot masked writes per descent (slots are distinct, so the
+        # where-chain order is irrelevant); L fused passes per array beat a
+        # computed-index scatter (see _path_onehot comment)
+        m = tree.stats.shape[1]
+        npts = self.engine.spec.num_points
+        legal_t = leaf_legal.reshape(self.readouts, b, -1)
+        libs_t = leaf_analysis.groups.stone_libs.astype(jnp.int16).reshape(
+            self.readouts, b, npts
+        )
+        size_t = leaf_analysis.groups.stone_size.astype(jnp.int16).reshape(
+            self.readouts, b, npts
+        )
+        ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        legal_new, libs_new, size_new = (
+            tree.legal, tree.node_libs, tree.node_size
+        )
+        for li in range(self.readouts):
+            oh = (ids_m == slot_t[li][:, None]) & al_t[li][:, None]
+            ohc = oh[:, :, None]
+            legal_new = jnp.where(ohc, legal_t[li][:, None, :], legal_new)
+            libs_new = jnp.where(ohc, libs_t[li][:, None, :], libs_new)
+            size_new = jnp.where(ohc, size_t[li][:, None, :], size_new)
+        tree = tree.replace(
+            legal=legal_new, node_libs=libs_new, node_size=size_new
+        )
+
+        policy, value = eval_fn(obs, flat_states.next_player)
         policy_t = policy.reshape(self.readouts, b, -1)
         value_t = value.reshape(self.readouts, b)
 
@@ -631,8 +644,10 @@ class MCTS:
         )
         if mask is not None:
             mixed = jnp.where(mask[:, None], mixed, prior)
+        ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        ohr = (ids_m == tree.root[:, None])[:, :, None]  # one fused pass
         return tree.replace(
-            edge_prior=tree.edge_prior.at[bar, tree.root].set(mixed)
+            edge_prior=jnp.where(ohr, mixed[:, None, :], tree.edge_prior)
         )
 
     # ------------------------------------------------------------------

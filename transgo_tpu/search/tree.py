@@ -155,19 +155,29 @@ def gather_nodes(tree: Tree, idx: jnp.ndarray) -> GoState:
 
 
 def write_node_states(tree: Tree, idx: jnp.ndarray, states: GoState,
-                      mask: jnp.ndarray) -> Tree:
+                      mask: jnp.ndarray, onehot=None) -> Tree:
     """Write per-board env states into node slots where mask holds.
 
-    Same compile-time caveat as :func:`gather_nodes` — used inside loop
-    bodies, so no reshape-based scatter here.
+    With ``onehot`` (bool[B, M], one row per board pre-masked), each state
+    array is rewritten by one fused select pass — the cheap form for loop
+    bodies (computed-index scatters lower to sort-based kernels on TPU).
+    Without it, falls back to the per-element scatter form.
     """
     b = idx.shape[0]
     bar = jnp.arange(b)
 
-    def upd(dst, src):
-        cur = dst[bar, idx]
-        m = mask.reshape(mask.shape + (1,) * (src.ndim - mask.ndim))
-        return dst.at[bar, idx].set(jnp.where(m, src, cur))
+    if onehot is not None:
+        def upd(dst, src):
+            oh = onehot.reshape(
+                onehot.shape + (1,) * (dst.ndim - onehot.ndim)
+            )
+            return jnp.where(oh, src[:, None] if src.ndim == 1
+                             else src[:, None, ...], dst)
+    else:
+        def upd(dst, src):
+            cur = dst[bar, idx]
+            m = mask.reshape(mask.shape + (1,) * (src.ndim - mask.ndim))
+            return dst.at[bar, idx].set(jnp.where(m, src, cur))
 
     return tree.replace(
         states=jax.tree_util.tree_map(upd, tree.states, states)
@@ -186,12 +196,28 @@ def subtree_mask(tree: Tree, new_root: jnp.ndarray) -> jnp.ndarray:
     alive = idx < tree.node_count[:, None]
 
     inside = (idx == new_root[:, None]) & alive
-    # parent of unallocated/root slots -> self loop at NULL; clamp for gather
+    # parent of unallocated/root slots -> self loop
     p = jnp.where(tree.parent >= 0, tree.parent, idx)
     hops = max(1, (m - 1).bit_length())
+    # pointer-jump with one-hot matvecs on the MXU: take_along_axis on
+    # [B, M] lowers to a per-element gather that measured 7+ ms per move at
+    # B=256/M=164 for these 2x8 hops; the matmul form is <1 ms (one-term
+    # sums against {0, 1} are exact, and indices <= M fit f32 exactly)
     for _ in range(hops):
-        inside = inside | jnp.take_along_axis(inside, p, axis=1)
-        p = jnp.take_along_axis(p, p, axis=1)
+        ohp = (
+            p[:, :, None] == idx[:, None, :]
+        ).astype(jnp.float32)                          # [B, M(i), M(src)]
+        inside = inside | (
+            jnp.einsum(
+                "bim,bm->bi", ohp, inside.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.5
+        )
+        p = jnp.einsum(
+            "bim,bm->bi", ohp, p.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
     return inside & alive
 
 
@@ -222,27 +248,52 @@ def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
         jnp.where(keep, new_idx, m + jnp.arange(m)[None, :]), axis=1
     )                                                         # [B, M]
 
-    # TPU-friendly row permutation: flatten (board, node) into rows and
-    # gather whole rows by flat index. take_along_axis with a broadcast
-    # index lowers to a per-element gather that runs two orders of
-    # magnitude slower (300ms vs 2ms for a [256,164,~500] permute).
-    flat_rows = (bar[:, None] * m + order).reshape(-1)
+    # TPU-friendly row permutation: one-hot MATMUL on the MXU. Per-node rows
+    # here are tiny (82 f32 / 81 int16 / 81 int8), which is the worst case
+    # for every gather formulation — measured 15 ms per move at B=256 for
+    # the flat whole-row gather this replaces, vs <1 ms as a batched
+    # [M, M] @ [M, K] matmul. Exactness: each output row is a one-term sum
+    # of f32 products against {0.0, 1.0}, and every integer payload fits
+    # f32's exact range (indices <= M, coords <= n), so round-tripping
+    # through f32 is lossless.
+    ohf = (
+        order[:, :, None] == jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)                                     # [B, Mnew, Mold]
 
     def take(x):
         if x.ndim == 2:
-            return jnp.take_along_axis(x, order, axis=1)
+            return (
+                jnp.einsum(
+                    "bnm,bm->bn", ohf, x.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                .astype(x.dtype)
+            )
         extra = x.shape[2:]
-        return x.reshape((b * m,) + extra)[flat_rows].reshape(
-            (b, m) + extra
+        k = 1
+        for dsz in extra:
+            k *= dsz
+        y = jnp.matmul(
+            ohf, x.reshape(b, m, k).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
-
-    remap_pad = jnp.concatenate(
-        [new_idx, jnp.full((b, 1), NULL, jnp.int32)], axis=1
-    )
+        return y.astype(x.dtype).reshape((b, m) + extra)
 
     def remap2(ptr):  # [B, M] old node index -> new index, NULL passthrough
-        safe = jnp.where(ptr >= 0, ptr, m)
-        return jnp.take_along_axis(remap_pad, safe, axis=1)
+        # one-hot matvec (exact; see `take`): encode new_idx + 1 so both
+        # "ptr is NULL" and "target not kept" decode to NULL via zero sums
+        oh = (
+            (ptr[:, :, None]
+             == jnp.arange(m, dtype=jnp.int32)[None, None, :])
+            & (ptr >= 0)[:, :, None]
+        ).astype(jnp.float32)
+        enc = jnp.where(new_idx >= 0, new_idx + 1, 0).astype(jnp.float32)
+        return (
+            jnp.einsum(
+                "bim,bm->bi", oh, enc, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+            - 1
+        )
 
     new_parent = remap2(take(tree.parent))
     new_parent_action = take(tree.parent_action)
@@ -250,16 +301,29 @@ def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
     # Rebuild child pointers from the permuted parent links instead of
     # remapping all M*A edges (the remap gather was the old hot spot):
     # edge_child[p, a] = j  iff  parent[j] = p and parent_action[j] = a —
-    # the allocation invariant (_descend), so the scatter is exact.
+    # the allocation invariant (_descend) makes (p, a) unique per j. As a
+    # matmul (same reasoning as `take`): encode j+1 so empty cells' zero
+    # sums decode to NULL.
     j_ids = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
     )
     valid = (new_parent >= 0) & (j_ids < new_count[:, None])
-    p_idx = jnp.where(valid, new_parent, m)          # OOB rows are dropped
-    a_idx = jnp.clip(new_parent_action, 0, a - 1)
-    new_edge_child = jnp.full((b, m, a), NULL, jnp.int32).at[
-        bar[:, None], p_idx, a_idx
-    ].set(j_ids, mode="drop")
+    parent_oh = (
+        (new_parent[:, :, None]
+         == jnp.arange(m, dtype=jnp.int32)[None, None, :])
+        & valid[:, :, None]
+    ).astype(jnp.float32)                                     # [B, Mj, Mp]
+    act_j = (
+        new_parent_action[:, :, None]
+        == jnp.arange(a, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32) * (j_ids + 1)[:, :, None].astype(jnp.float32)
+    new_edge_child = (
+        jnp.einsum(
+            "bjp,bja->bpa", parent_oh, act_j,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        - 1
+    )
 
     new_tree = Tree(
         stats=take(tree.stats),
