@@ -236,13 +236,14 @@ class MCTS:
         return jnp.where(legal, score, -jnp.inf)
 
     def _select_child(self, tree: Tree, node: jnp.ndarray,
-                      key) -> jnp.ndarray:
+                      noise) -> jnp.ndarray:
         """argmax UCB with uniform random tie-breaking
-        (select_child, self_play.py:706-714)."""
+        (select_child, self_play.py:706-714). ``noise`` is a pre-drawn
+        uniform [B, A] slab — drawing it here would put a multi-op threefry
+        inside the descent while_loop body."""
         scores = self._ucb(tree, node)
         max_score = jnp.max(scores, axis=1, keepdims=True)
         is_max = scores >= max_score
-        noise = jax.random.uniform(key, scores.shape)
         return jnp.argmax(
             jnp.where(is_max, noise, -1.0), axis=1
         ).astype(jnp.int32)
@@ -357,11 +358,17 @@ class MCTS:
             _, depth, moving, _, _ = carry
             return jnp.any(moving) & (depth < dmax - 1)
 
+        # tie-break noise for every depth, drawn once (threefry inside the
+        # while body costs ~as much as the selection math itself)
+        noise_all = jax.random.uniform(key, (dmax, b, a))
+
         def body(carry):
             cur, depth, moving, (sel_p, sel_a, sel_c), path = carry
             path = path.at[:, depth].set(jnp.where(moving, cur, NULL))
-            k = jax.random.fold_in(key, depth)
-            act = self._select_child(tree, cur, k)
+            noise = jax.lax.dynamic_index_in_dim(
+                noise_all, depth, keepdims=False
+            )
+            act = self._select_child(tree, cur, noise)
             child = tree.edge_child[bar, cur, act]
             child_ok = child >= 0
             safe_child = jnp.where(child_ok, child, 0)
