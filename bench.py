@@ -65,7 +65,7 @@ def bench_env_steps(batch: int = 4096, iters: int = 64, size: int = 9):
     return steps / dt
 
 
-def bench_selfplay(batch: int = 64, sims: int = 50):
+def bench_selfplay(batch: int = 256, sims: int = 50):
     """Tiny-net self-play with MCTS (config #2-ish): moves/s and
     env-steps/s counting tree simulations."""
     from transgo_tpu.config import Config

@@ -129,10 +129,10 @@ class LiveWindowEngine:
                               analysis)
 
     def step_trusted(self, state: GoState, local_action, stone_libs,
-                     stone_size):
+                     stone_size, labels):
         return self.base.step_trusted(
             state, self._to_global_action(local_action), stone_libs,
-            stone_size,
+            stone_size, labels,
         )
 
     def winner(self, state: GoState):

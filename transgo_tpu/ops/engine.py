@@ -185,6 +185,7 @@ class GoEngine:
         return self._apply_move(
             state, c, applied, special,
             g.stone_libs.astype(jnp.int32), g.stone_size.astype(jnp.int32),
+            g.labels.astype(jnp.int32),
         )
 
     def step_trusted(
@@ -193,13 +194,15 @@ class GoEngine:
         action: jnp.ndarray,
         stone_libs: jnp.ndarray,
         stone_size: jnp.ndarray,
+        labels: jnp.ndarray,
     ) -> Tuple[GoState, jnp.ndarray]:
         """Apply pre-validated moves using cached per-stone group stats.
 
         The search only proposes actions from a node's stored legal mask, so
         re-deriving legality (a full board analysis) per step is wasted work;
         this variant trusts the caller and takes the pre-move position's
-        per-stone liberties/sizes (needed only for ko detection) as inputs.
+        per-stone liberties/sizes/group-ids (ko detection + capture
+        resolution) as inputs, making the step entirely reachability-free.
         Still guards terminated boards and occupied points.
         """
         n = self.spec.num_points
@@ -215,9 +218,11 @@ class GoEngine:
         return self._apply_move(
             state, c, applied, special,
             stone_libs.astype(jnp.int32), stone_size.astype(jnp.int32),
+            labels.astype(jnp.int32),
         )
 
-    def _apply_move(self, state, c, applied, special, stone_libs, stone_size):
+    def _apply_move(self, state, c, applied, special, stone_libs, stone_size,
+                    labels):
         """Shared move executor (Play, board.cc:546-653)."""
         spec = self.spec
         n = spec.num_points
@@ -248,9 +253,21 @@ class GoEngine:
         giving_ko = (self_lib_c == 0) & ~own_adj & (ko_cnt == 1)
 
         # ---- play the stone and resolve captures ----
+        # Capture without re-deriving connectivity (Play's KillOneBlock,
+        # board.cc:242-264): an opponent group dies iff it is adjacent to cc
+        # and had exactly one liberty pre-move — that liberty is necessarily
+        # cc itself (cc was empty and adjacent to a member). Its stones are
+        # exactly the points sharing its cached group id, so removal is one
+        # [B, n, 4] compare instead of a full reachability pass.
+        nbr_lbl = _pad1(labels, jnp.int32(-1))[barange[:, None], nbr]
+        cap_nbr = (
+            (nbr_col == opp[:, None]) & (nbr_grp_libs == 1)
+        )                                                    # [B, 4]
+        cap_ids = jnp.where(cap_nbr, nbr_lbl, jnp.int32(-9))
+        captured = (state.stones == opp[:, None]) & jnp.any(
+            labels[:, :, None] == cap_ids[:, None, :], axis=2
+        )
         stones1 = state.stones.at[barange, cc].set(player)
-        g1 = group_stats(spec, stones1)
-        captured = (stones1 == opp[:, None]) & (g1.stone_libs == 0)
         stones2 = jnp.where(captured, jnp.int8(EMPTY), stones1)
 
         play_ko_location = jnp.where(giving_ko, ko_cand, state.ko_location)

@@ -175,6 +175,11 @@ class MCTS:
                 analysis.groups.stone_size.astype(jnp.int16)[:, None, :],
                 tree.node_size,
             ),
+            node_group=jnp.where(
+                ohc,
+                analysis.groups.labels.astype(jnp.int16)[:, None, :],
+                tree.node_group,
+            ),
             init_value=jnp.where(
                 ohr,
                 0.0 if self.child_init_zero else -value[:, None],
@@ -409,8 +414,9 @@ class MCTS:
         parent_states = gather_nodes(tree, par)
         par_libs = tree.node_libs[bar, par]
         par_size = tree.node_size[bar, par]
+        par_group = tree.node_group[bar, par]
         stepped, done = self.engine.step_trusted(
-            parent_states, act, par_libs, par_size
+            parent_states, act, par_libs, par_size, par_group
         )
 
         need_alloc = active & (existing < 0)
@@ -462,12 +468,11 @@ class MCTS:
             terminal_value=row1(tree.terminal_value, term_value),
             parent=row1(tree.parent, par),
             parent_action=row1(tree.parent_action, act),
-            # new slot's edge row cleared + parent edge set, one fused pass
-            edge_child=jnp.where(
-                ohp, new_idx[:, None, None],
-                jnp.where(ohn[:, :, None], NULL, tree.edge_child),
-            ),
-            edge_prior=jnp.where(ohn[:, :, None], 0.0, tree.edge_prior),
+            # parent edge gains the child pointer; the new slot's own edge
+            # rows are NOT cleared here — an unexpanded leaf's rows are never
+            # read, so _complete clears them when (and if) it expands the
+            # leaf, saving two full [B, M, A] passes per descent
+            edge_child=jnp.where(ohp, new_idx[:, None, None], tree.edge_child),
         )
         # (legal mask and group caches are batch-written by run_round after
         # the descent scan)
@@ -489,8 +494,12 @@ class MCTS:
 
     # ------------------------------------------------------------------
     def _complete(self, tree: Tree, leaf, needs, policy, value, path,
-                  leaf_pos) -> Tree:
-        """complete_update / incorporate_results (self_play.py:727-755)."""
+                  leaf_pos, legal=None) -> Tree:
+        """complete_update / incorporate_results (self_play.py:727-755).
+
+        ``legal`` is the leaf's legal row if the caller already has it (the
+        round computed it for every leaf this round); omitted, it is
+        gathered from the tree."""
         b, m, a = tree.shape
         bar = jnp.arange(b)
         already = tree.expanded[bar, leaf]
@@ -502,27 +511,35 @@ class MCTS:
         revert_mask = needs if self.mode != SearchMode.WU else do
         tree = self._incomplete(tree, path, revert_mask, -1.0)
 
-        legal = tree.legal[bar, leaf]
+        if legal is None:
+            legal = tree.legal[bar, leaf]
         scale = jnp.sum(jnp.where(legal, policy, 0.0), axis=1)
         ok = scale > 0
         prior = jnp.where(legal, policy, 0.0) / jnp.maximum(
             scale[:, None], 1e-12
         )
         setp = do & ok
-        # one-hot masked row rewrites (see _path_onehot comment)
+        # one-hot masked row rewrites (see _path_onehot comment). The leaf's
+        # edge rows may hold stale data from a compacted-away node (the
+        # descent skips clearing rows of slots it allocates), so expansion
+        # rewrites the full prior row (zeros when the policy had no mass on
+        # legal moves) and resets the child-pointer row.
         ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
         ohl = ids_m == leaf[:, None]                              # [B, M]
+        ohd = ohl & do[:, None]
         ohs = ohl & setp[:, None]
+        prior_row = jnp.where(ok[:, None], prior, 0.0)
         tree = tree.replace(
             edge_prior=jnp.where(
-                ohs[:, :, None], prior[:, None, :], tree.edge_prior
+                ohd[:, :, None], prior_row[:, None, :], tree.edge_prior
             ),
+            edge_child=jnp.where(ohd[:, :, None], NULL, tree.edge_child),
             init_value=jnp.where(
                 ohs,
                 0.0 if self.child_init_zero else -value[:, None],
                 tree.init_value,
             ),
-            expanded=tree.expanded | (ohl & do[:, None]),
+            expanded=tree.expanded | ohd,
         )
         return self._backup(tree, path, leaf_pos, value, do)
 
@@ -567,9 +584,12 @@ class MCTS:
         size_t = leaf_analysis.groups.stone_size.astype(jnp.int16).reshape(
             self.readouts, b, npts
         )
+        group_t = leaf_analysis.groups.labels.astype(jnp.int16).reshape(
+            self.readouts, b, npts
+        )
         ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
-        legal_new, libs_new, size_new = (
-            tree.legal, tree.node_libs, tree.node_size
+        legal_new, libs_new, size_new, group_new = (
+            tree.legal, tree.node_libs, tree.node_size, tree.node_group
         )
         for li in range(self.readouts):
             oh = (ids_m == slot_t[li][:, None]) & al_t[li][:, None]
@@ -577,25 +597,24 @@ class MCTS:
             legal_new = jnp.where(ohc, legal_t[li][:, None, :], legal_new)
             libs_new = jnp.where(ohc, libs_t[li][:, None, :], libs_new)
             size_new = jnp.where(ohc, size_t[li][:, None, :], size_new)
+            group_new = jnp.where(ohc, group_t[li][:, None, :], group_new)
         tree = tree.replace(
-            legal=legal_new, node_libs=libs_new, node_size=size_new
+            legal=legal_new, node_libs=libs_new, node_size=size_new,
+            node_group=group_new,
         )
 
         policy, value = eval_fn(obs, flat_states.next_player)
         policy_t = policy.reshape(self.readouts, b, -1)
         value_t = value.reshape(self.readouts, b)
 
-        def complete_body(tree, x):
-            leaf, need, pol, val, path, leaf_pos = x
-            return (
-                self._complete(tree, leaf, need, pol, val, path, leaf_pos),
-                None,
+        # completions run unrolled (readouts is small and static): unlike a
+        # lax.scan, the unrolled chain of one-hot masked updates fuses into
+        # ~one elementwise pass per tree array instead of one per descent
+        for li in range(self.readouts):
+            tree = self._complete(
+                tree, leaf_t[li], need_t[li], policy_t[li], value_t[li],
+                path_t[li], pos_t[li], legal=legal_t[li],
             )
-
-        tree, _ = jax.lax.scan(
-            complete_body, tree,
-            (leaf_t, need_t, policy_t, value_t, path_t, pos_t),
-        )
         return tree
 
     # ------------------------------------------------------------------
@@ -813,6 +832,13 @@ class MCTS:
                     empty[:, None],
                     stepped_analysis.groups.stone_size.astype(jnp.int16),
                     new_tree.node_size[:, 0],
+                )
+            ),
+            node_group=new_tree.node_group.at[:, 0].set(
+                jnp.where(
+                    empty[:, None],
+                    stepped_analysis.groups.labels.astype(jnp.int16),
+                    new_tree.node_group[:, 0],
                 )
             ),
         )

@@ -57,9 +57,11 @@ class Tree:
     edge_child: jnp.ndarray   # int32 node index or NULL
     legal: jnp.ndarray        # bool legal actions at the node
     # cached per-stone group stats of the node's position [B, M, n] int16 —
-    # lets the search step an edge without re-analyzing the parent board
+    # liberties, sizes, and group ids (min coordinate, == Block.start) let
+    # the search step an edge with no re-analysis and no reachability pass
     node_libs: jnp.ndarray
     node_size: jnp.ndarray
+    node_group: jnp.ndarray
     # embedded env states, batch shape [B, M]
     states: GoState
     # bookkeeping [B]
@@ -110,6 +112,7 @@ def init_tree(batch: int, max_nodes: int, num_actions: int,
         legal=jnp.zeros((b, m, a), bool),
         node_libs=jnp.zeros((b, m, n), jnp.int16),
         node_size=jnp.zeros((b, m, n), jnp.int16),
+        node_group=jnp.full((b, m, n), -1, jnp.int16),
         states=GoState.new((b, m), board_size),
         node_count=jnp.zeros((b,), jnp.int32),
         root=jnp.zeros((b,), jnp.int32),
@@ -338,6 +341,7 @@ def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
         legal=take(tree.legal),
         node_libs=take(tree.node_libs),
         node_size=take(tree.node_size),
+        node_group=take(tree.node_group),
         states=jax.tree_util.tree_map(take, tree.states),
         node_count=new_count,
         root=jnp.zeros((b,), jnp.int32),
