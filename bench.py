@@ -52,11 +52,16 @@ def bench_env_steps(batch: int = 4096, iters: int = 64, size: int = 9):
 
     state = eng.init(batch)
     key = jax.random.PRNGKey(0)
-    # compile + warmup
+    # compile + warmup: several untimed reps — the first post-compile calls
+    # run ~2x slower than steady state (device caches/power ramp), which
+    # under-reports by half with a single warmup call
     out = run(state, key)
     jax.block_until_ready(out[0].stones)
+    for r in range(3):
+        out = run(out[0], jax.random.fold_in(key, 100 + r))
+    jax.block_until_ready(out[0].stones)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 6
     for r in range(reps):
         out = run(out[0], jax.random.fold_in(key, r))
     jax.block_until_ready(out[0].stones)
