@@ -93,6 +93,42 @@ class SearchResult(NamedTuple):
     tree: Tree
 
 
+class PendingAlloc(NamedTuple):
+    """Side table of this round's pseudo-expanded leaves, [B, L] each.
+
+    The descent scan allocates up to one node per board per readout, but the
+    big per-node arrays (edge_child pointers, parent links, terminal flags,
+    embedded env states) are NOT written inside the scan — a one-hot masked
+    rewrite of a [B, M, A] array costs a full HBM pass, and doing it per
+    descent made the 4-descent scan ~4x more expensive than the walks
+    themselves. Instead each descent records its allocation here, later
+    descents overlay these entries where the tree arrays are stale (child
+    lookup during the walk, UCB child stats, terminal short-circuit), and
+    ``run_round`` installs everything in ONE fused pass per array after the
+    scan. Stats rows ARE initialized in-descent ([B, M, 5] is small) so the
+    WU/WP ``ons`` marks of pending leaves steer later descents exactly as
+    the reference's pseudo-expanded nodes do (self_play.py:151-155, 287-294).
+    """
+
+    parent: jnp.ndarray   # int32 [B, L] parent node of the new leaf
+    action: jnp.ndarray   # int32 [B, L] edge action
+    slot: jnp.ndarray     # int32 [B, L] allocated node slot
+    done: jnp.ndarray     # bool  [B, L] leaf state is terminal
+    tvalue: jnp.ndarray   # float32 [B, L] terminal value (leaf perspective)
+    valid: jnp.ndarray    # bool  [B, L] entry holds a real allocation
+
+    @staticmethod
+    def empty(b: int, l: int) -> "PendingAlloc":
+        return PendingAlloc(
+            parent=jnp.full((b, l), NULL, jnp.int32),
+            action=jnp.full((b, l), NULL, jnp.int32),
+            slot=jnp.full((b, l), NULL, jnp.int32),
+            done=jnp.zeros((b, l), bool),
+            tvalue=jnp.zeros((b, l), jnp.float32),
+            valid=jnp.zeros((b, l), bool),
+        )
+
+
 class MCTS:
     """Stateless search bound to (engine, encoder, mode, Config)."""
 
@@ -190,13 +226,21 @@ class MCTS:
         return tree
 
     # ------------------------------------------------------------------
-    def _child_stats(self, tree: Tree, node: jnp.ndarray):
+    def _child_stats(self, tree: Tree, node: jnp.ndarray,
+                     pend: Optional[PendingAlloc] = None):
         """Per-action child stats of ``node`` int32[B], defaults for
         unallocated children (visits 0, ons 0, value_sum = parent's
-        init_value, var 0)."""
+        init_value, var 0). ``pend`` overlays this round's not-yet-installed
+        child pointers so pending leaves' ``ons`` marks are visible."""
         b = node.shape[0]
         bar = jnp.arange(b)
         child = tree.edge_child[bar, node]                  # [B, A]
+        if pend is not None:
+            ids_a = jnp.arange(child.shape[1], dtype=child.dtype)[None, :]
+            for j in range(pend.slot.shape[1]):
+                hit = pend.valid[:, j] & (pend.parent[:, j] == node)
+                oh = hit[:, None] & (ids_a == pend.action[:, j][:, None])
+                child = jnp.where(oh, pend.slot[:, j][:, None], child)
         exists = child >= 0
         safe = jnp.where(exists, child, 0)
         st = tree.stats[bar[:, None], safe]               # [B, A, 5]
@@ -208,11 +252,12 @@ class MCTS:
         cvar = jnp.where(exists, st[..., VVAR], 0.0)
         return child, exists, cv, cvs, cons, cvar
 
-    def _ucb(self, tree: Tree, node: jnp.ndarray) -> jnp.ndarray:
+    def _ucb(self, tree: Tree, node: jnp.ndarray,
+             pend: Optional[PendingAlloc] = None) -> jnp.ndarray:
         """float32[B, A] UCB scores; illegal actions -inf."""
         b = node.shape[0]
         bar = jnp.arange(b)
-        _, _, cv, cvs, cons, cvar = self._child_stats(tree, node)
+        _, _, cv, cvs, cons, cvar = self._child_stats(tree, node, pend)
         prior = tree.edge_prior[bar, node]
         legal = tree.legal[bar, node]
         pst = tree.stats[bar, node]                         # [B, 5]
@@ -241,12 +286,13 @@ class MCTS:
         return jnp.where(legal, score, -jnp.inf)
 
     def _select_child(self, tree: Tree, node: jnp.ndarray,
-                      noise) -> jnp.ndarray:
+                      noise, pend: Optional[PendingAlloc] = None
+                      ) -> jnp.ndarray:
         """argmax UCB with uniform random tie-breaking
         (select_child, self_play.py:706-714). ``noise`` is a pre-drawn
         uniform [B, A] slab — drawing it here would put a multi-op threefry
         inside the descent while_loop body."""
-        scores = self._ucb(tree, node)
+        scores = self._ucb(tree, node, pend)
         max_score = jnp.max(scores, axis=1, keepdims=True)
         is_max = scores >= max_score
         return jnp.argmax(
@@ -340,24 +386,29 @@ class MCTS:
         )
         return min(d, int(self.config.max_step) + 2)
 
-    def _descend(self, tree: Tree, key, active: jnp.ndarray):
+    def _descend(self, tree: Tree, key, active: jnp.ndarray,
+                 pend: PendingAlloc, li):
         """One leaf selection per board.
 
-        Returns (tree, leaf_idx[B], needs_eval[B], path[B, D], leaf_pos[B],
-        stepped GoState, alloc[B], slot[B]) with terminal leaves already
-        backed up and incomplete updates applied to eval leaves.
+        Returns (tree, pend', leaf_idx[B], needs_eval[B], path[B, D],
+        leaf_pos[B], stepped GoState, alloc[B], slot[B], par[B], act[B],
+        done[B], term_value[B]) with terminal leaves already backed up and
+        incomplete updates applied to eval leaves.
 
-        The leaf's board analysis, legal mask, and observation are NOT
-        computed here: nothing in a later descent of the same round can read
-        them (selection cannot enter an unexpanded node), so ``run_round``
-        defers them to ONE batched call over all L*B leaves — four sequential
-        reachability/encoder passes at batch B become one at 4B, which both
-        shortens the round's dependency chain and feeds the MXU bigger
-        matmuls.
+        The leaf's board analysis, legal mask, observation, env state,
+        parent link, terminal flag, and the parent's child pointer are NOT
+        written here: later descents of the same round resolve them through
+        the ``pend`` side table (see :class:`PendingAlloc`), and
+        ``run_round`` installs them in ONE batched pass per array after the
+        scan — four sequential full-array passes at batch B become one, and
+        the L*B leaf analyses batch into one reachability/encoder call.
+        Only the [B, M, 5] stats row is initialized in-descent (pending
+        leaves' ``ons`` marks must steer the next descent).
         """
         b, m, a = tree.shape
         bar = jnp.arange(b)
         dmax = self.max_depth
+        num_pend = pend.slot.shape[1]
 
         def cond(carry):
             _, depth, moving, _, _ = carry
@@ -373,10 +424,20 @@ class MCTS:
             noise = jax.lax.dynamic_index_in_dim(
                 noise_all, depth, keepdims=False
             )
-            act = self._select_child(tree, cur, noise)
+            act = self._select_child(tree, cur, noise, pend)
             child = tree.edge_child[bar, cur, act]
+            # overlay this round's pending (not yet installed) child edges
+            for j in range(num_pend):
+                hit = (
+                    pend.valid[:, j]
+                    & (pend.parent[:, j] == cur)
+                    & (pend.action[:, j] == act)
+                )
+                child = jnp.where(hit, pend.slot[:, j], child)
             child_ok = child >= 0
             safe_child = jnp.where(child_ok, child, 0)
+            # pending slots are always unexpanded (completion happens after
+            # the scan), so reading the stale `expanded` row is correct
             child_expanded = child_ok & tree.expanded[bar, safe_child]
             go = moving & child_expanded
             stop = moving & ~child_expanded
@@ -410,7 +471,9 @@ class MCTS:
         leaf_pos = jnp.clip(leaf_pos, 0, dmax - 1)
 
         # env-step the selected edge using the parent's cached group stats
-        # (selection only proposes legal actions, so no re-analysis)
+        # (selection only proposes legal actions, so no re-analysis).
+        # Parents are always expanded nodes, never pending slots, so the
+        # deferred state writes are invisible here.
         parent_states = gather_nodes(tree, par)
         par_libs = tree.node_libs[bar, par]
         par_size = tree.node_size[bar, par]
@@ -424,8 +487,6 @@ class MCTS:
         leaf = jnp.where(need_alloc, new_idx, jnp.where(active, existing, 0))
         safe_leaf = jnp.clip(leaf, 0, m - 1)
 
-        # allocate: full slot initialisation (slots may hold stale data
-        # after subtree compaction)
         al = need_alloc & (new_idx < m)
         leaf = jnp.where(active & (existing < 0) & ~al, 0, leaf)  # overflow guard
         safe_new = jnp.where(al, new_idx, 0)
@@ -437,60 +498,59 @@ class MCTS:
             ).astype(jnp.float32),
             lambda: jnp.zeros((b,), jnp.float32),
         )
-        # one-hot masked slot initialisation: every per-node array takes ONE
-        # fused elementwise pass instead of a sort-based scatter (see the
-        # path-update comment above _path_onehot). Slots may hold stale data
-        # after subtree compaction, so the full row is rewritten.
+        # stats-row initialisation (one fused [B, M, 5] pass; slots may hold
+        # stale data after subtree compaction). The new slot's expanded flag
+        # needs no clear: every allocator (init_tree, promote_subtree,
+        # _fresh_roots) leaves slots beyond node_count unexpanded, and its
+        # init_value is written at completion (_complete writes the full
+        # row's worth where `do`).
         ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
         ohn = (ids_m == safe_new[:, None]) & al[:, None]          # [B, M]
-        ids_a = jnp.arange(a, dtype=jnp.int32)[None, :]
-        # the parent's (par, act) edge gains the new child pointer
-        ohp = (
-            (ids_m == par[:, None])[:, :, None]
-            & (ids_a == act[:, None])[:, None, :]
-            & al[:, None, None]
-        )                                                          # [B, M, A]
         seed = tree.init_value[bar, par]                           # child-Q
         new_row = jnp.stack(
             [jnp.zeros_like(seed), seed, jnp.zeros_like(seed),
              jnp.zeros_like(seed), jnp.zeros_like(seed)], axis=-1
         )                                                          # [B, 5]
-
-        def row1(dst, v):                      # [B, M] <- per-board scalar v
-            return jnp.where(ohn, v[:, None] if v.ndim == 1 else v, dst)
-
         tree = tree.replace(
             node_count=tree.node_count + al.astype(jnp.int32),
             stats=jnp.where(ohn[:, :, None], new_row[:, None, :], tree.stats),
-            init_value=jnp.where(ohn, 0.0, tree.init_value),
-            expanded=tree.expanded & ~ohn,
-            terminal=row1(tree.terminal, done),
-            terminal_value=row1(tree.terminal_value, term_value),
-            parent=row1(tree.parent, par),
-            parent_action=row1(tree.parent_action, act),
-            # parent edge gains the child pointer; the new slot's own edge
-            # rows are NOT cleared here — an unexpanded leaf's rows are never
-            # read, so _complete clears them when (and if) it expands the
-            # leaf, saving two full [B, M, A] passes per descent
-            edge_child=jnp.where(ohp, new_idx[:, None, None], tree.edge_child),
         )
-        # (legal mask and group caches are batch-written by run_round after
-        # the descent scan)
-        tree = write_node_states(tree, safe_new, stepped, al, onehot=ohn)
 
         # complete the path with the leaf
         path = path.at[bar, leaf_pos].set(
             jnp.where(active, safe_leaf, NULL)
         )
 
+        # terminal short-circuit flag: fresh allocations use the local step
+        # result; re-selected leaves read the tree, overlaid with pending
+        # entries from earlier descents this round
+        is_term_prev = tree.terminal[bar, safe_leaf]
+        tv_prev = tree.terminal_value[bar, safe_leaf]
+        for j in range(num_pend):
+            hit = pend.valid[:, j] & (safe_leaf == pend.slot[:, j])
+            is_term_prev = jnp.where(hit, pend.done[:, j], is_term_prev)
+            tv_prev = jnp.where(hit, pend.tvalue[:, j], tv_prev)
+        is_term = active & jnp.where(al, done, is_term_prev)
+        tv = jnp.where(al, term_value, tv_prev)
+
+        # record this descent's allocation in the side table (column li)
+        col = jnp.arange(num_pend, dtype=jnp.int32)[None, :] == li
+        pend = PendingAlloc(
+            parent=jnp.where(col, par[:, None], pend.parent),
+            action=jnp.where(col, act[:, None], pend.action),
+            slot=jnp.where(col, safe_new[:, None], pend.slot),
+            done=jnp.where(col, done[:, None], pend.done),
+            tvalue=jnp.where(col, term_value[:, None], pend.tvalue),
+            valid=jnp.where(col, al[:, None], pend.valid),
+        )
+
         # terminal leaves: back up the true outcome now (self_play.py:638-642)
-        is_term = active & tree.terminal[bar, safe_leaf]
-        tv = tree.terminal_value[bar, safe_leaf]
         tree = self._backup(tree, path, leaf_pos, tv, is_term)
 
         needs_eval = active & ~is_term
         tree = self._incomplete(tree, path, needs_eval, +1.0)
-        return tree, safe_leaf, needs_eval, path, leaf_pos, stepped, al, safe_new
+        return (tree, pend, safe_leaf, needs_eval, path, leaf_pos, stepped,
+                al, safe_new, par, act, done, term_value)
 
     # ------------------------------------------------------------------
     def _complete(self, tree: Tree, leaf, needs, policy, value, path,
@@ -527,18 +587,20 @@ class MCTS:
         ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
         ohl = ids_m == leaf[:, None]                              # [B, M]
         ohd = ohl & do[:, None]
-        ohs = ohl & setp[:, None]
         prior_row = jnp.where(ok[:, None], prior, 0.0)
+        # init_value is written wherever `do` (not just `do & ok`): the
+        # descent no longer pre-zeroes new slots, so expansion must clear
+        # possibly-stale seeds even when the policy had no legal mass
+        seed = (
+            jnp.zeros_like(value) if self.child_init_zero else -value
+        )
+        iv_row = jnp.where(setp, seed, 0.0)
         tree = tree.replace(
             edge_prior=jnp.where(
                 ohd[:, :, None], prior_row[:, None, :], tree.edge_prior
             ),
             edge_child=jnp.where(ohd[:, :, None], NULL, tree.edge_child),
-            init_value=jnp.where(
-                ohs,
-                0.0 if self.child_init_zero else -value[:, None],
-                tree.init_value,
-            ),
+            init_value=jnp.where(ohd, iv_row[:, None], tree.init_value),
             expanded=tree.expanded | ohd,
         )
         return self._backup(tree, path, leaf_pos, value, do)
@@ -552,14 +614,22 @@ class MCTS:
         copies — a large compile-time win for the search program."""
         b = tree.shape[0]
 
-        def descend_body(tree, i):
-            tree, leaf, need, path, leaf_pos, stepped, al, slot = self._descend(
-                tree, jax.random.fold_in(key, i), active
+        def descend_body(carry, i):
+            tree, pend = carry
+            (tree, pend, leaf, need, path, leaf_pos, stepped, al, slot,
+             par, act, done, tval) = self._descend(
+                tree, jax.random.fold_in(key, i), active, pend, i
             )
-            return tree, (leaf, need, path, leaf_pos, stepped, al, slot)
+            return (tree, pend), (
+                leaf, need, path, leaf_pos, stepped, al, slot, par, act,
+                done, tval,
+            )
 
-        tree, (leaf_t, need_t, path_t, pos_t, stepped_t, al_t, slot_t) = (
-            jax.lax.scan(descend_body, tree, jnp.arange(self.readouts))
+        (tree, _), (leaf_t, need_t, path_t, pos_t, stepped_t, al_t, slot_t,
+                    par_t, act_t, done_t, tval_t) = jax.lax.scan(
+            descend_body,
+            (tree, PendingAlloc.empty(b, self.readouts)),
+            jnp.arange(self.readouts),
         )                                           # *_t: [L, B, ...]
 
         # ONE batched analysis/encoding of all L*B leaf states (deferred out
@@ -572,9 +642,10 @@ class MCTS:
         leaf_legal = self.engine.legal_action_mask(flat_states, leaf_analysis)
         obs = self.encoder(flat_states, leaf_analysis)
 
-        # one-hot masked writes per descent (slots are distinct, so the
-        # where-chain order is irrelevant); L fused passes per array beat a
-        # computed-index scatter (see _path_onehot comment)
+        # install everything the descents deferred, ONE fused pass per array
+        # (the L chained one-hot selects touch distinct slots, so order is
+        # irrelevant and XLA fuses the chain into a single elementwise pass;
+        # doing these inside the scan cost L full passes per array)
         m = tree.stats.shape[1]
         npts = self.engine.spec.num_points
         legal_t = leaf_legal.reshape(self.readouts, b, -1)
@@ -588,19 +659,52 @@ class MCTS:
             self.readouts, b, npts
         )
         ids_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        ids_a = jnp.arange(self.num_actions, dtype=jnp.int32)[None, :]
         legal_new, libs_new, size_new, group_new = (
             tree.legal, tree.node_libs, tree.node_size, tree.node_group
         )
+        edge_child_new = tree.edge_child
+        parent_new, paction_new = tree.parent, tree.parent_action
+        term_new, tval_new = tree.terminal, tree.terminal_value
+        states_new = tree.states
         for li in range(self.readouts):
-            oh = (ids_m == slot_t[li][:, None]) & al_t[li][:, None]
+            al = al_t[li]
+            oh = (ids_m == slot_t[li][:, None]) & al[:, None]      # [B, M]
             ohc = oh[:, :, None]
             legal_new = jnp.where(ohc, legal_t[li][:, None, :], legal_new)
             libs_new = jnp.where(ohc, libs_t[li][:, None, :], libs_new)
             size_new = jnp.where(ohc, size_t[li][:, None, :], size_new)
             group_new = jnp.where(ohc, group_t[li][:, None, :], group_new)
+            # parent's (par, act) edge gains the child pointer
+            ohp = (
+                (ids_m == par_t[li][:, None])[:, :, None]
+                & (ids_a == act_t[li][:, None])[:, None, :]
+                & al[:, None, None]
+            )
+            edge_child_new = jnp.where(
+                ohp, slot_t[li][:, None, None], edge_child_new
+            )
+            parent_new = jnp.where(oh, par_t[li][:, None], parent_new)
+            paction_new = jnp.where(oh, act_t[li][:, None], paction_new)
+            term_new = jnp.where(oh, done_t[li][:, None], term_new)
+            tval_new = jnp.where(oh, tval_t[li][:, None], tval_new)
+
+            def upd(dst, src):
+                o = oh.reshape(oh.shape + (1,) * (dst.ndim - oh.ndim))
+                return jnp.where(
+                    o, src[:, None] if src.ndim == 1 else src[:, None, ...],
+                    dst,
+                )
+
+            states_new = jax.tree_util.tree_map(
+                upd, states_new,
+                jax.tree_util.tree_map(lambda x: x[li], stepped_t),
+            )
         tree = tree.replace(
             legal=legal_new, node_libs=libs_new, node_size=size_new,
-            node_group=group_new,
+            node_group=group_new, edge_child=edge_child_new,
+            parent=parent_new, parent_action=paction_new,
+            terminal=term_new, terminal_value=tval_new, states=states_new,
         )
 
         policy, value = eval_fn(obs, flat_states.next_player)
