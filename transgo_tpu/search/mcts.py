@@ -68,6 +68,7 @@ from transgo_tpu.search.tree import (
     Tree,
     gather_nodes,
     init_tree,
+    onehot_rows,
     promote_subtree,
     write_node_states,
 )
@@ -242,8 +243,8 @@ class MCTS:
                 oh = hit[:, None] & (ids_a == pend.action[:, j][:, None])
                 child = jnp.where(oh, pend.slot[:, j][:, None], child)
         exists = child >= 0
-        safe = jnp.where(exists, child, 0)
-        st = tree.stats[bar[:, None], safe]               # [B, A, 5]
+        # one-hot MXU gather (negative pointers give zero rows, masked below)
+        st = onehot_rows(tree.stats, child)               # [B, A, 5]
         cv = jnp.where(exists, st[..., VISIT], 0.0)
         cvs = jnp.where(
             exists, st[..., VSUM], tree.init_value[bar, node][:, None]
@@ -790,9 +791,7 @@ class MCTS:
         exists = child >= 0
         counts = jnp.where(
             exists,
-            tree.stats[
-                bar[:, None], jnp.where(exists, child, 0), VISIT
-            ].astype(jnp.int32),
+            onehot_rows(tree.stats, child)[..., VISIT].astype(jnp.int32),
             0,
         )
         counts = jnp.where(counts == 1, 0, counts)

@@ -143,6 +143,29 @@ def row_set(dst: jnp.ndarray, idx: jnp.ndarray, src: jnp.ndarray,
     return flat.at[rows].set(src, mode="drop").reshape(dst.shape)
 
 
+def onehot_rows(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``src[b, idx[b, k]]`` for src [B, M, K] and idx [B, A] -> [B, A, K],
+    as a one-hot f32 MXU matmul.
+
+    The native lowering of ``src[bar[:, None], idx]`` is a per-element
+    gather that runs ~8x slower than the MXU form at search shapes
+    (measured 195us vs 25us for [256, 484, 5] x [256, 82] on one chip).
+    Precision HIGHEST keeps it bit-exact: each output row has exactly one
+    nonzero term, and an f32x3-pass multiply of 1.0 is lossless, whereas
+    the DEFAULT bf16 passes would truncate the gathered values.
+    Out-of-range (negative) indices yield all-zero rows.
+    """
+    m = src.shape[1]
+    oh = (
+        idx[:, :, None] == jnp.arange(m, dtype=idx.dtype)[None, None, :]
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        oh, src, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def gather_nodes(tree: Tree, idx: jnp.ndarray) -> GoState:
     """Pull one env state per board: idx int32[B] -> GoState[B, ...].
 
