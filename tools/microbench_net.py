@@ -1,7 +1,18 @@
-"""Microbenchmark MainNetwork building blocks against the chip roofline.
+"""Trustworthy roofline microbench: iterate INSIDE one jitted call and
+force a host readback to end the timing bracket.
 
-Each rep chains its output into the next input (the runtime memoizes
-repeated identical calls, so unchained timing loops read ~0)."""
+Two failure modes of naive timing through the tunneled device runtime,
+both measured here on 2026-08-18:
+  1. repeated identical (function, inputs) dispatches are memoized;
+  2. ``jax.block_until_ready`` does NOT actually block — a chained
+     host-level timing loop reported a 42 PF/s matmul on a ~200 TF/s
+     chip. Only a host readback (``float(scalar)`` / device_get) fences.
+So: each measurement jits one function that runs the op `reps` times in a
+lax.fori_loop with a chained carry and returns a scalar reduction; the
+timed call takes a fresh seed argument (defeats memoization) and ends
+with float() on the result. A ~30 ms fixed tunnel RTT rides on every
+call — use reps large enough to amortize it.
+"""
 
 import argparse
 import os
@@ -14,20 +25,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def timeit_chain(fn, x0, *rest, reps=20, warmup=5, name="", flops=None):
-    """fn(x, *rest) -> x'   (same shape/dtype so reps chain)."""
-    x = fn(x0, *rest)
-    jax.block_until_ready(x)
-    for _ in range(warmup):
-        x = fn(x, *rest)
-    jax.block_until_ready(x)
+def timeit_injit(step, x0, *rest, reps=200, name="", flops=None):
+    """step(x, *rest) -> x' with x' the same shape/dtype as x."""
+
+    @jax.jit
+    def run(x, seed, *rest):
+        x = x + (seed * 0).astype(x.dtype)
+        out = jax.lax.fori_loop(0, reps, lambda i, c: step(c, *rest), x)
+        return jnp.float32(jnp.sum(out))
+
+    float(run(x0, jnp.float32(0), *rest))  # compile + warm
+    float(run(x0, jnp.float32(1), *rest))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        x = fn(x, *rest)
-    jax.block_until_ready(x)
+    float(run(x0, jnp.float32(99), *rest))
     dt = (time.perf_counter() - t0) / reps
     extra = f"  {flops / dt / 1e12:7.1f} TF/s" if flops else ""
     print(f"{name:34s} {dt * 1e3:9.3f} ms{extra}")
@@ -39,79 +51,60 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--features", type=int, default=128)
     ap.add_argument("--size", type=int, default=9)
+    ap.add_argument("--reps", type=int, default=200)
     args = ap.parse_args()
-    b, f, s = args.batch, args.features, args.size
+    b, f, s, reps = args.batch, args.features, args.size, args.reps
     print(f"device={jax.devices()[0]}  B={b} F={f} S={s}")
     key = jax.random.PRNGKey(0)
 
-    # --- matmul peak proxy (chained: a <- normalize(a @ b)) ---
-    mm_a = jax.random.normal(key, (8192, 8192), jnp.bfloat16)
-    mm_b = jax.random.normal(key, (8192, 8192), jnp.bfloat16)
-    mm = jax.jit(lambda a, c: (a @ c) * jnp.bfloat16(1e-2))
-    timeit_chain(mm, mm_a, mm_b, name="matmul 8k^3 bf16", flops=2 * 8192**3)
+    # matmul peak proxy
+    mm_a = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
+    mm_b = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
+    timeit_injit(lambda a, c: ((a @ c) * jnp.bfloat16(1e-2)), mm_a, mm_b,
+                 reps=reps, name="matmul 4k^3 bf16", flops=2 * 4096**3)
 
-    # --- single conv3x3 (chained) ---
+    # single conv3x3 f->f at sxs
     x = jax.random.normal(key, (b, s, s, f), jnp.bfloat16)
     w = jax.random.normal(key, (3, 3, f, f), jnp.bfloat16) * 0.03
-    conv = jax.jit(
-        lambda x, w: jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-    )
     cflops = b * s * s * 9 * f * f * 2
-    timeit_chain(conv, x, w, name="conv3x3 single", flops=cflops)
 
-    # --- 18 stacked convs ---
-    def trunk(x, w):
-        for _ in range(18):
-            x = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-            )
-            x = jnp.clip(x, -1, 1)
-        return x
+    def conv(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.clip(y, -1, 1).astype(jnp.bfloat16)
 
-    timeit_chain(jax.jit(trunk), x, w, name="conv3x3 x18 + clip",
-                 flops=18 * cflops)
+    timeit_injit(conv, x, w, reps=reps, name="conv3x3 + clip", flops=cflops)
 
-    # --- batched attention einsum core (the SAGAN mixing) ---
-    n = s * s
-    q = jax.random.normal(key, (b, n, f // 4), jnp.bfloat16)
-    v = jax.random.normal(key, (b, n, f), jnp.bfloat16)
+    # conv as explicit im2col matmul (what we'd hand-write in pallas)
+    def conv_im2col(x, w):
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (3, 3), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = patches.reshape(b * s * s, 9 * f) @ w.reshape(9 * f, f)
+        return jnp.clip(y.reshape(b, s, s, f), -1, 1).astype(jnp.bfloat16)
 
-    def attn_core(q, v):
-        e = jnp.einsum("bif,bjf->bij", q, q)
-        a = jax.nn.softmax(e.astype(jnp.float32), -1).astype(jnp.bfloat16)
-        o = jnp.einsum("bjc,bji->bic", v, a)
-        return q + o[..., : f // 4] * jnp.bfloat16(1e-2)
+    timeit_injit(conv_im2col, x, w, reps=reps, name="conv3x3 im2col matmul",
+                 flops=cflops)
 
-    aflops = b * (2 * n * n * (f // 4) + 2 * n * n * f)
-    timeit_chain(jax.jit(attn_core), q, v, name="attention einsum core",
-                 flops=aflops)
+    # full MainNetwork forward
+    from transgo_tpu.config import Config
+    from transgo_tpu.models import build_network
 
-    # --- one SelfAttention block (chained on x) ---
-    from transgo_tpu.models.nets import SelfAttention
+    cfg = Config(board_size=s, num_features=f)
+    net = build_network(cfg, "main")
+    variables = net.init(jax.random.PRNGKey(0))
+    obs = jax.random.uniform(key, (b, s, s, cfg.encode_state_channels))
 
-    attn = SelfAttention(4, True, jnp.bfloat16)
-    xf = x.astype(jnp.float32)
-    av = attn.init(key, xf, train=False)
-    attn_j = jax.jit(
-        lambda x, v: attn.apply(v, x, train=False).astype(jnp.float32)
-        * 0.5
-    )
-    timeit_chain(attn_j, xf, av, name="SelfAttention block")
+    def fwd(o, variables):
+        log_p, v, own = net.apply(variables, o, train=False)
+        upd = (jnp.exp(log_p[:, :-1]).reshape(b, s, s, 1) +
+               own.reshape(b, s, s, 1) * 0.001)
+        return (o + upd * 1e-6).astype(o.dtype)
 
-    # --- full MainNetwork (chain via obs perturbation from outputs) ---
-    from transgo_tpu.models.nets import MainNetwork
-
-    net = MainNetwork(s, f, jnp.bfloat16)
-    obs = jax.random.normal(key, (b, s, s, 10), jnp.float32)
-    nv = net.init(key, obs, train=False)
-
-    def full(obs, nv):
-        lp, val, own = net.apply(nv, obs, train=False)
-        return obs + 1e-3 * own.reshape(b, s, s, 1)
-
-    timeit_chain(jax.jit(full), obs, nv, name="MainNetwork full", reps=10)
+    nconv = 1 + 18 + 2 + 1 + 1  # stem, 9 res blocks x 2, heads approx
+    nflops = b * (s * s * 9 * f * f * 2) * nconv
+    timeit_injit(fwd, obs, variables, reps=max(20, reps // 4),
+                 name="MainNetwork fwd", flops=nflops)
 
 
 if __name__ == "__main__":
