@@ -150,3 +150,25 @@ class TestBoardGUI:
                 s.state, __import__("jax.numpy", fromlist=["a"]).array(
                     [s.pass_action]))
         assert s.result()[0] in "BW"
+
+
+def test_komi_command_retraces_search():
+    """A ``komi`` GTP command must reach the jitted search closure — the
+    eval fn bakes komi in at trace time (round-1 staleness bug)."""
+    cfg = small_test_config(
+        board_size=5, max_step=20, num_simulation=4, parallel_readouts=2,
+        num_features=8, komi=2.5, value_own_blend=0.1,
+    )
+    eng = GTPEngine(cfg)
+    select_before = eng._select
+    assert _cmd(eng, "komi 7.5").startswith("=")
+    assert eng.engine.komi == 7.5
+    assert eng._select is not select_before, (
+        "komi change did not invalidate the jitted search closure"
+    )
+    # final_score reflects the new komi immediately (empty board: W+komi)
+    assert _cmd(eng, "final_score").strip() == "= W+7.5"
+    # no-op komi keeps the compiled closure
+    select_now = eng._select
+    _cmd(eng, "komi 7.5")
+    assert eng._select is select_now

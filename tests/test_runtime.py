@@ -328,3 +328,32 @@ def test_pipeline_continuous_end_to_end(tmp_path):
         pipe.now_play_steps
         <= pipe.tick * cfg.selfplay_chunk_ticks * cfg.selfplay_batch // 2
     )
+
+
+def test_init_model_resumes_weights(tmp_path):
+    """config.init_model loads a _save_policy artifact into a fresh
+    pipeline (model-only resume, reference transgo.py:71-77)."""
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    cfg = small_test_config(
+        board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+        num_features=8, batch_size=8, buffer_size=512,
+        results_path=str(tmp_path / "results"),
+    )
+    pipe = TrainPipeline(cfg, quiet=True)
+    variables = pipe.learner.variables(pipe.train_state)
+    pipe._save_policy(variables, "current_policy")
+
+    cfg2 = small_test_config(
+        board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+        num_features=8, batch_size=8, buffer_size=512,
+        results_path=str(tmp_path / "results2"),
+        init_model=str(tmp_path / "results" / "current_policy"),
+        seed=123,  # different init seed: params must still match
+    )
+    pipe2 = TrainPipeline(cfg2, quiet=True)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        pipe.train_state.params, pipe2.train_state.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0

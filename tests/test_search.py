@@ -151,3 +151,55 @@ def test_terminal_backup():
     tree = mcts.reset_root(mcts.new_tree(1), eval_fn, states)
     tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(tree, jax.random.PRNGKey(5))
     assert int(tree.visit[0, tree.root[0]]) >= cfg.num_simulation
+
+
+def test_temperature_schedule_traced_matches_host():
+    """The jnp path of epsilon_by_frame (used by the search/actor hot
+    paths) must match the host-float path exactly — one source of truth."""
+    from transgo_tpu.config import Config
+
+    cfg = Config()
+    steps = np.array([0.0, 1.0, 5.0, 20.0, 120.0], np.float32)
+    traced = np.asarray(jax.jit(cfg.epsilon_by_frame)(jnp.asarray(steps)))
+    host = np.array([cfg.epsilon_by_frame(float(s)) for s in steps])
+    assert np.allclose(traced, host, atol=1e-6)
+
+
+def test_depth_cap_counter():
+    """Descents that hit search_max_depth are counted, never silent."""
+    from transgo_tpu.config import small_test_config
+    from transgo_tpu.ops import GoEngine
+
+    cfg = small_test_config(num_simulation=24, search_max_depth=2)
+    eng = GoEngine(5, komi=2.5, max_step=30)
+    mcts = MCTS(cfg, eng, SearchMode.WP)
+    A = eng.spec.num_actions
+
+    def eval_fn(obs, to_play):
+        # sharply peaked prior: descents chain down one line, so the tree
+        # outgrows the depth bound quickly
+        b = obs.shape[0]
+        prior = jnp.full((b, A), 1e-4).at[:, :4].set(0.25)
+        return prior, jnp.zeros((b,))
+
+    tree = mcts.reset_root(mcts.new_tree(2), eval_fn)
+    tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(
+        tree, jax.random.PRNGKey(0)
+    )
+    capped = np.asarray(tree.depth_capped)
+    # with a depth bound of 2 and 24 simulations, descents must exceed it
+    assert (capped > 0).all(), f"expected depth-cap sit-outs, got {capped}"
+    # telemetry survives subtree promotion (tree reuse across moves)
+    counts, _ = mcts.action_statistics(tree)
+    action = jnp.asarray(np.asarray(counts).argmax(axis=1), jnp.int32)
+    new_tree = promote_subtree(tree, action)
+    assert np.array_equal(np.asarray(new_tree.depth_capped), capped)
+
+
+def test_no_depth_cap_with_roomy_bound():
+    cfg, eng, mcts, eval_fn = setup("wp", 24)
+    tree = mcts.reset_root(mcts.new_tree(2), eval_fn)
+    tree = jax.jit(lambda t, k: mcts.search(t, eval_fn, k))(
+        tree, jax.random.PRNGKey(0)
+    )
+    assert (np.asarray(tree.depth_capped) == 0).all()

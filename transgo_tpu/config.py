@@ -71,7 +71,11 @@ class Config:
     input_dim: int = 10                # == encode_state_channels
     num_features: int = 128
     l2_const: float = 1e-4
-    checkpoint_interval: int = 3       # push weights every N train steps
+    # NOTE: the reference's checkpoint_interval (push weights to
+    # SharedStorage every 3 train steps, trainer.py:76-79) has no referent
+    # here — self-play reads the learner's params directly every tick, so
+    # weight "broadcast" is continuous by construction (like CPUActor,
+    # obsolete in the one-program design).
     adjust_lr: bool = True
     learn_rate: float = 6.5e-5
     batch_size: int = 2048
@@ -89,6 +93,10 @@ class Config:
     evaluate_games: int = 10           # arena games per eval (self_play.py:987)
 
     # ---------- resume (reference configure.py:50-60) ----------
+    # init_model: orbax policy dir (a _save_policy artifact: params +
+    # batch_stats) loaded into the pipeline's network at construction —
+    # model-only resume (reference transgo.py:71-77). Full resume (opt
+    # state + counters + buffer) is TrainPipeline.load_checkpoint.
     init_model: Optional[str] = None
     init_buffer: Optional[list] = None
     init_sub_model: Optional[str] = None
@@ -151,13 +159,23 @@ class Config:
         return self.board_size * self.board_size + 1
 
     # ---------- schedule functions (reference configure.py:75-103) ----------
-    def epsilon_by_frame(self, game_step) -> float:
+    # temperature schedule constants (reference configure.py:75-79); the
+    # search and actor hot paths call epsilon_by_frame with traced arrays,
+    # so these are the single source of truth for all three call sites
+    epsilon_start: float = 1.0
+    epsilon_final: float = 0.65
+    epsilon_decay: float = 10.0
+
+    def epsilon_by_frame(self, game_step):
         """Self-play temperature: decays 1.0 -> 0.65 with game step
-        (reference configure.py:75-79)."""
-        epsilon_start, epsilon_final, epsilon_decay = 1.0, 0.65, 10.0
-        return epsilon_final + (epsilon_start - epsilon_final) * math.exp(
-            -1.0 * game_step / epsilon_decay
-        )
+        (reference configure.py:75-79). Accepts python scalars and traced
+        jnp arrays alike."""
+        e0, e1, tau = self.epsilon_start, self.epsilon_final, self.epsilon_decay
+        if isinstance(game_step, (int, float)):
+            return e1 + (e0 - e1) * math.exp(-1.0 * game_step / tau)
+        import jax.numpy as jnp
+
+        return e1 + (e0 - e1) * jnp.exp(-game_step / tau)
 
     def value_ratio_by_frame(self, now_train_steps) -> float:
         """Scale-transfer blend weight gamma: decays 1 -> 0, tau ~= 1200

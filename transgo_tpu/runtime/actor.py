@@ -230,7 +230,7 @@ class SelfPlayActor:
             pi,
         )
         step = root_states.step_count.astype(jnp.float32)
-        temp = 0.65 + (1.0 - 0.65) * jnp.exp(-step / 10.0)
+        temp = self.config.epsilon_by_frame(step)
         action = self.mcts.sample_action(counts, temp, ksample)
 
         obs = self.mcts.encoder(root_states)
@@ -448,7 +448,10 @@ class SelfPlayActor:
             length=self.chunk_ticks,
         )
         return state, dreplay, {
-            "games": games, "moves": moves, "dropped": dropped
+            "games": games, "moves": moves, "dropped": dropped,
+            # cumulative depth-cap sit-outs (see Tree.depth_capped); the
+            # pipeline diffs successive values for a per-chunk rate
+            "depth_capped": jnp.sum(state.tree.depth_capped),
         }
 
     # ------------------------------------------------------------------
@@ -477,11 +480,13 @@ class SelfPlayActor:
             d = done.reshape(done.shape + (1,) * (old.ndim - done.ndim))
             return jnp.where(d, new, old)
 
+        depth_capped = tree.depth_capped  # telemetry survives game resets
         tree = jax.tree_util.tree_map(pick, fresh, tree)
         # done boards: allocate slot 0 as root holding a fresh board
         tree = tree.replace(
             node_count=jnp.where(done, 1, tree.node_count),
             root=jnp.where(done, 0, tree.root),
+            depth_capped=depth_capped,
         )
         def wr(dst, src):
             # static slot-0 write (dynamic-update-slice, fuses cleanly)

@@ -109,6 +109,18 @@ class TrainPipeline:
         key = jax.random.PRNGKey(cfg.seed)
         kinit, kactor, self._key = jax.random.split(key, 3)
         variables = self.network.init(kinit)
+        if cfg.init_model:
+            # model-only resume from a _save_policy orbax artifact
+            # (reference config.init_model, transgo.py:71-77)
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                Path(cfg.init_model).absolute()
+            )
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
         self.train_state: TrainState = self.learner.init_state(variables)
         self.frozen_vars = self.learner.variables(self.train_state)
 
@@ -120,6 +132,8 @@ class TrainPipeline:
         self.train_play_ratio = cfg.train_play_ratio
         self.evaluate_score = cfg.init_evaluate_score
         self.tick = 0
+        self._depth_capped_total = 0
+        self.depth_capped_rate = 0.0
 
         # jitted entry points (continuous mode: per-board move boundaries —
         # one search round per tick, each board moves when its own visit
@@ -244,6 +258,19 @@ class TrainPipeline:
                     f"[warn] {dropped} finished games exceeded the per-tick "
                     "append budget and were dropped"
                 )
+            # depth-cap sit-out telemetry (VERDICT r1: never silent)
+            dc_total = int(np.asarray(stats.get("depth_capped", 0)))
+            dc_new = dc_total - self._depth_capped_total
+            self._depth_capped_total = dc_total
+            if dc_new > 0:
+                self.depth_capped_rate = dc_new / max(1, b)
+                if self.depth_capped_rate > 0.05:
+                    self.logger.console(
+                        f"[warn] {dc_new} descents hit search_max_depth="
+                        f"{self.config.search_max_depth} this chunk "
+                        f"({self.depth_capped_rate:.1%} of moves) — consider "
+                        "raising it for this board size"
+                    )
             out = None
         else:
             self.actor_state, out = self._jit_play(self.actor_state, variables)
@@ -405,6 +432,7 @@ class TrainPipeline:
                     "learn_rate": self.learn_rate,
                     "train_play_ratio": self.train_play_ratio,
                     "play_steps_per_s": sps,
+                    "depth_capped_total": self._depth_capped_total,
                 }
                 scal.update({k: float(v) for k, v in last.items()})
                 self.logger.log(self.tick, scal)

@@ -464,7 +464,12 @@ class MCTS:
         )
         # boards whose descent exceeded the static depth bound sit this
         # round out (no selection was made for them); the search loop's
-        # max_rounds guard keeps the move bounded regardless
+        # max_rounds guard keeps the move bounded regardless. Counted in
+        # tree.depth_capped so sit-outs are never silent (the pipeline
+        # reports the per-chunk rate).
+        tree = tree.replace(
+            depth_capped=tree.depth_capped + still_moving.astype(jnp.int32)
+        )
         active = active & ~still_moving
         # walk length per board = number of recorded nodes; the leaf slots
         # in right after
@@ -838,7 +843,7 @@ class MCTS:
         if is_selfplay:
             # temperature by game step (epsilon_by_frame, configure.py:75-79)
             step = root_states.step_count.astype(jnp.float32)
-            temp = 0.65 + (1.0 - 0.65) * jnp.exp(-step / 10.0)
+            temp = cfg.epsilon_by_frame(step)
         else:
             temp = jnp.full((b,), cfg.eval_temperature, jnp.float32)
         action = self.sample_action(counts, temp, ksample)

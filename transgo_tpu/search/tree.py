@@ -67,6 +67,10 @@ class Tree:
     # bookkeeping [B]
     node_count: jnp.ndarray   # int32 allocation pointer
     root: jnp.ndarray         # int32 root node index
+    # telemetry [B]: descents that hit the static search_max_depth bound and
+    # sat their round out (cumulative over the tree's lifetime; survives
+    # subtree promotion so the runtime can report a per-chunk rate)
+    depth_capped: jnp.ndarray  # int32
 
     @property
     def shape(self) -> Tuple[int, int, int]:
@@ -116,6 +120,7 @@ def init_tree(batch: int, max_nodes: int, num_actions: int,
         states=GoState.new((b, m), board_size),
         node_count=jnp.zeros((b,), jnp.int32),
         root=jnp.zeros((b,), jnp.int32),
+        depth_capped=jnp.zeros((b,), jnp.int32),
     )
 
 
@@ -368,6 +373,7 @@ def promote_subtree(tree: Tree, action: jnp.ndarray) -> Tree:
         states=jax.tree_util.tree_map(take, tree.states),
         node_count=new_count,
         root=jnp.zeros((b,), jnp.int32),
+        depth_capped=tree.depth_capped,
     )
     # new root has no parent
     new_tree = new_tree.replace(

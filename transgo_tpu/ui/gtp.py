@@ -40,12 +40,18 @@ class GTPEngine:
         self.network = build_network(cfg, "main")
         self.variables = variables or self.network.init(jax.random.PRNGKey(0))
         self.key = jax.random.PRNGKey(cfg.seed)
+        self._rebuild_select()
+        self.history: List = []
+        self.clear_board()
+
+    def _rebuild_select(self):
+        """(Re)trace the search closure. Called at construction and whenever
+        ``komi`` changes: the eval fn bakes komi into the jitted program, so
+        a ``komi`` GTP command must invalidate it (round-1 staleness bug)."""
         eval_fn = self._eval_fn(self.variables)
         self._select = jax.jit(
             lambda states, key: self.mcts.select_action(states, eval_fn, key)
         )
-        self.history: List = []
-        self.clear_board()
 
     # ------------------------------------------------------------------
     def _eval_fn(self, variables):
@@ -183,7 +189,11 @@ class GTPEngine:
                 self.clear_board()
                 resp = ""
             elif cmd == "komi":
-                self.engine.komi = float(args[0])
+                new_komi = float(args[0])
+                if new_komi != self.engine.komi:
+                    self.engine.komi = new_komi
+                    self.config.komi = new_komi
+                    self._rebuild_select()  # komi is baked into the jit
                 resp = ""
             elif cmd == "play":
                 resp = self.cmd_play(args[0], args[1])
