@@ -1,13 +1,16 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: pure 9x9 env throughput (env-steps/s) for a batch of boards
-stepping random legal moves fully on device — BASELINE.json config #1.
-``vs_baseline`` is measured against the driver's north-star target of 500K
-aggregate env-steps/s on a v5p-16, prorated to one chip (500000/16 = 31250).
+Headline: 9x9 self-play WITH MCTS (BASELINE.json config #2 — tiny net,
+50 simulations per move, WP search), counted as env-steps/s: every tree
+simulation steps the engine once, so the rate is moves/s * sims. This is
+the driver's named metric ("env-steps/s/chip, 9x9 self-play w/ MCTS");
+``vs_baseline`` is measured against the north-star 500K aggregate
+env-steps/s on a v5p-16, prorated to one chip (500000/16 = 31250).
 
-Extra sub-benchmarks (self-play with net+MCTS, train step) run with
---all and are reported on stderr; the required single JSON line always goes
-to stdout last.
+The same JSON object carries the secondary numbers in "extra": pure env
+stepping (config #1) and self-play moves/s. More sub-benchmarks (train
+step) run with --all on stderr; the single JSON line always goes to
+stdout last.
 """
 
 import argparse
@@ -71,8 +74,8 @@ def bench_env_steps(batch: int = 4096, iters: int = 64, size: int = 9):
 
 
 def bench_selfplay(batch: int = 256, sims: int = 50):
-    """Tiny-net self-play with MCTS (config #2-ish): moves/s and
-    env-steps/s counting tree simulations."""
+    """Tiny-net self-play with MCTS (config #2): moves/s and env-steps/s
+    counting tree simulations (one engine step per simulation)."""
     from transgo_tpu.config import Config
     from transgo_tpu.models import build_network
     from transgo_tpu.ops import GoEngine
@@ -90,6 +93,9 @@ def bench_selfplay(batch: int = 256, sims: int = 50):
     state = actor.init_state(variables, jax.random.PRNGKey(1))
     play = jax.jit(actor.play_move)
     state, out = play(state, variables)     # compile
+    jax.block_until_ready(out.done)
+    for _ in range(2):                      # post-compile warmup
+        state, out = play(state, variables)
     jax.block_until_ready(out.done)
     t0 = time.perf_counter()
     reps = 8
@@ -141,20 +147,26 @@ def main():
 
     if args.all:
         try:
-            mps, sps = bench_selfplay()
-            print(f"selfplay: {mps:.1f} moves/s ({sps:.0f} sim-steps/s)",
-                  file=sys.stderr)
             tps = bench_train()
             print(f"train: {tps:.0f} samples/s", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"sub-bench failed: {e}", file=sys.stderr)
 
+    mps, sps = bench_selfplay()
+    print(f"selfplay: {mps:.1f} moves/s ({sps:.0f} sim-steps/s)",
+          file=sys.stderr)
     eps = bench_env_steps(args.batch, args.iters, args.size)
+    print(f"env-only: {eps:.0f} env-steps/s", file=sys.stderr)
     print(json.dumps({
-        "metric": "env_steps_per_s_per_chip",
-        "value": round(eps, 1),
+        "metric": "selfplay_env_steps_per_s_per_chip",
+        "value": round(sps, 1),
         "unit": "steps/s",
-        "vs_baseline": round(eps / BASELINE_PER_CHIP, 4),
+        "vs_baseline": round(sps / BASELINE_PER_CHIP, 4),
+        "extra": {
+            "selfplay_moves_per_s": round(mps, 1),
+            "env_only_steps_per_s": round(eps, 1),
+            "env_only_vs_baseline": round(eps / BASELINE_PER_CHIP, 4),
+        },
     }))
 
 

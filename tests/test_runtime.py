@@ -101,8 +101,11 @@ class TestLearner:
         _, m = jax.jit(learner.train_step)(state, batch, 1e-3)
         assert set(m) == {
             "total_loss", "value_loss", "own_loss", "act_policy_loss",
-            "entropy_loss",
+            "entropy_loss", "td_error",
         }
+        # per-sample TD errors for PER priority feedback
+        assert m["td_error"].shape == (batch[0].shape[0],)
+        assert (np.asarray(m["td_error"]) >= 0).all()
 
 
 class TestSchedules:
@@ -357,3 +360,100 @@ def test_init_model_resumes_weights(tmp_path):
         pipe.train_state.params, pipe2.train_state.params,
     )
     assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+def test_overlapped_tick_matches_sync_counters(tmp_path):
+    """Overlapped dispatch (train burst + next chunk before reading the
+    previous chunk's stats) must replay the exact same self-play schedule
+    as the synchronous tick once flushed. Compared with training disabled:
+    with training on, overlap legitimately phase-shifts the weight updates
+    by one chunk, which perturbs subsequent searches (just as the
+    reference's sleeping throttles had no fixed phase); the trained
+    overlapped path is covered by test_pipeline_continuous_end_to_end."""
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    def build(overlap):
+        cfg = small_test_config(
+            board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+            num_features=8, batch_size=8, buffer_size=512,
+            train_play_ratio=0.0, adjust_train_play_ratio=False,
+            evaluate_num=10**9,
+            continuous_selfplay=True, selfplay_chunk_ticks=8,
+            overlap_train_selfplay=overlap,
+            results_path=str(tmp_path / f"results_{overlap}"),
+        )
+        return TrainPipeline(cfg, quiet=True)
+
+    sync = build(False)
+    over = build(True)
+    n = 12
+    for _ in range(n):
+        sync.run_tick()
+        over.run_tick()
+    # before the flush the overlapped counters lag by exactly one in-flight
+    # chunk
+    assert over._pending_stats is not None
+    over.flush_pending()
+    assert over.now_play_steps == sync.now_play_steps
+    assert over.now_play_games == sync.now_play_games
+    assert int(over.dreplay.size()) == int(sync.dreplay.size())
+
+
+def test_overlapped_tick_trains(tmp_path):
+    """Overlapped mode still trains once games exist, and the deferred
+    controller converges to the ratio target."""
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    cfg = small_test_config(
+        board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+        num_features=8, batch_size=8, buffer_size=512,
+        train_play_ratio=0.05, adjust_train_play_ratio=False,
+        evaluate_num=10**9,
+        continuous_selfplay=True, selfplay_chunk_ticks=8,
+        overlap_train_selfplay=True,
+        results_path=str(tmp_path / "results"),
+    )
+    pipe = TrainPipeline(cfg, quiet=True)
+    for _ in range(30):
+        pipe.run_tick()
+        if pipe.now_train_steps > 2:
+            break
+    pipe.flush_pending()
+    assert pipe.now_train_steps > 0
+    # controller keeps train/play within one chunk of the target
+    assert (
+        pipe.now_train_steps
+        >= int(
+            (pipe.now_play_steps - cfg.selfplay_chunk_ticks
+             * cfg.selfplay_batch) * cfg.train_play_ratio
+        )
+    )
+
+
+def test_per_priorities_updated_by_training(tmp_path):
+    """use_per=True: the trainer feeds |value - win_z| TD errors back into
+    the sum tree (the reference's PER was write-only, its update_priority
+    had no caller)."""
+    from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    cfg = small_test_config(
+        board_size=5, max_step=12, num_simulation=8, selfplay_batch=4,
+        num_features=8, batch_size=8, buffer_size=512,
+        train_play_ratio=0.05, evaluate_num=10**9, use_per=True,
+        results_path=str(tmp_path / "results"),
+    )
+    pipe = TrainPipeline(cfg, quiet=True)
+    assert not pipe.use_device_replay  # PER lives in the host buffer
+    for _ in range(40):
+        pipe.run_tick()
+        if pipe.now_train_steps >= 2:
+            break
+    assert pipe.now_train_steps >= 1, "training never engaged"
+    # appends write a uniform max-priority per row; TD feedback from the
+    # train step must have differentiated the sampled leaves
+    tree = pipe.replay.tree
+    leaves = tree.tree[tree.tree_start:tree.tree_start + len(pipe.replay)]
+    assert len(np.unique(np.round(leaves, 10))) > 1, (
+        "all priorities still at the append-time constant — "
+        "update_priorities was never fed"
+    )

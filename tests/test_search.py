@@ -40,7 +40,7 @@ def test_visit_target_reached(mode):
 
 def test_finds_capture():
     """Search prefers the capturing move in an obvious atari position."""
-    cfg, eng, mcts, eval_fn = setup("wp", 64)
+    cfg, eng, mcts, eval_fn = setup("wp", 128)
     # white stone at 6 in atari (black 1, 5, 11 around it); black to move
     # at 7 captures
     stones = np.zeros((2, 25), np.int8)
@@ -98,8 +98,15 @@ def test_dirichlet_noise_changes_priors():
     after = np.asarray(tree2.edge_prior)[bar, np.asarray(tree2.root)]
     legal = np.asarray(tree.legal)[bar, np.asarray(tree.root)]
     assert not np.allclose(before[legal], after[legal])
-    # noise preserves normalization over legal moves
-    assert np.allclose(after[legal].reshape(2, -1).sum(1), 1.0, atol=1e-4)
+    # the reference mix: prior*(1-0.25) + noise*0.25 with Dirichlet noise
+    # summing to 1 over legal (self_play.py:43-48) — root priors are RAW
+    # softmax values (sum < 1 when mass falls on pass), so the mixed sum is
+    # 0.75*sum(before) + 0.25
+    assert np.allclose(
+        after[legal].reshape(2, -1).sum(1),
+        0.75 * before[legal].reshape(2, -1).sum(1) + 0.25,
+        atol=1e-4,
+    )
     assert np.allclose(before[~legal], after[~legal])
 
 

@@ -26,7 +26,9 @@ def cmd_train(args):
     from transgo_tpu.runtime.pipeline import TrainPipeline
 
     cfg = Config(results_path=args.results, seed=args.seed,
-                 selfplay_batch=args.batch, buffer_size=args.buffer)
+                 selfplay_batch=args.batch, buffer_size=args.buffer,
+                 init_sub_model=args.sub_model,
+                 sub_model_features=args.sub_features)
     pipe = TrainPipeline(cfg)
     if args.resume:
         pipe.load_checkpoint(args.resume)
@@ -186,6 +188,10 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--resume", default=None)
     t.add_argument("--checkpoint", default=None)
+    t.add_argument("--sub-model", default=None,
+                   help="7x7 sub-model policy dir for scale transfer")
+    t.add_argument("--sub-features", type=int, default=None,
+                   help="sub-model feature width (default: num_features)")
 
     for name in ("scale-bound", "scale-live"):
         s = sub.add_parser(name)

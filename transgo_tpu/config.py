@@ -107,6 +107,21 @@ class Config:
     # ---------- throttle (reference configure.py:64-65) ----------
     train_play_ratio: float = 7500 / 100000
     adjust_train_play_ratio: bool = True
+    # test hook: break UCB ties by lowest action index (see
+    # search.mcts.MCTS.deterministic_ties)
+    deterministic_tie_break: bool = False
+    # cap on catch-up train steps per tick: a cold start / resume owes
+    # ratio*play_steps steps the moment the first game lands, and an
+    # uncapped catch-up burst blocks self-play for minutes; capping spreads
+    # the debt over ticks while games keep flowing (the reference's
+    # trainer caught up while its actor processes kept playing,
+    # trainer.py:94-105). 0 disables the cap.
+    max_train_per_tick: int = 64
+    # overlapped tick (fused continuous path only): dispatch the train
+    # burst and the next self-play chunk before reading the previous
+    # chunk's stats, hiding the per-tick device->host readback behind
+    # device work; the ratio controller sees counters one chunk late
+    overlap_train_selfplay: bool = True
 
     # ---------- leaf-eval value shaping (scale_train recipes) ----------
     # v = (1-b)*v_net + b*tanh(tanh_norm*(sum(own)+komi_signed))
@@ -120,6 +135,9 @@ class Config:
     transfer_max_train_steps: int = 3500
     transfer_policy_temperature: float = 0.45  # self_play.py:823
     transfer_pass_prob: float = 1e-5           # self_play.py:820
+    # feature width of the pretrained 7x7 sub-model loaded via
+    # init_sub_model (None -> num_features); must match the checkpoint
+    sub_model_features: Optional[int] = None
 
     # ---------- paths ----------
     results_path: str = "./results1"

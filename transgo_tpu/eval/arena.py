@@ -8,8 +8,12 @@ fresh root at evaluation temperature 0.12 and no Dirichlet noise
 by 100 and freezes the challenger as the new opponent
 (self_play.py:1035-1038).
 
-All games run in lockstep on device; both agents' searches are executed
-batched each move and the mover's action is selected per board.
+All games run in lockstep on device. Color assignment is fixed per game
+GROUP (A holds black in the first half, white in the second) instead of
+alternating within one batch: plies advance in lockstep, so within a group
+the scheduled mover is the same for every board at every ply and only ONE
+agent's search runs per move — half the compute of the round-1 version
+that ran both searches and selected by mover mask.
 """
 
 from __future__ import annotations
@@ -51,43 +55,47 @@ class Arena:
         mcts = self.mcts
         engine = self.engine
 
-        def one_move(states: GoState, vars_a, vars_b, a_is_mover, key):
-            ka, kb = jax.random.split(key)
-            act_a = mcts.select_action(states, self._eval_fn(vars_a), ka)
-            act_b = mcts.select_action(states, self._eval_fn(vars_b), kb)
-            action = jnp.where(a_is_mover, act_a, act_b)
+        def one_move(states: GoState, vars_mover, key):
+            action = mcts.select_action(
+                states, self._eval_fn(vars_mover), key
+            )
             return engine.step(states, action)
 
         return jax.jit(one_move)
 
+    def _play_group(self, vars_black, vars_white, num_games: int, key,
+                    max_moves: int):
+        """One lockstep group with fixed colors; returns winner[G]."""
+        states = self.engine.init(num_games)
+        for ply in range(max_moves):
+            vars_mover = vars_black if ply % 2 == 0 else vars_white
+            key, k = jax.random.split(key)
+            states, done = self._move_fn(states, vars_mover, k)
+            if bool(jnp.all(done)):
+                break
+        return self.engine.winner(states)
+
     # ------------------------------------------------------------------
     def play_match(self, vars_a, vars_b, num_games: int, key,
                    max_moves: Optional[int] = None) -> MatchResult:
-        """A vs B over ``num_games`` lockstep games; A holds black on
-        even-indexed games (color alternation, self_play.py:1000-1026)."""
+        """A vs B over ``num_games`` games, colors split half/half
+        (the reference's per-game alternation, self_play.py:1000-1026,
+        realized as two color-fixed lockstep groups)."""
         if self._move_fn is None:
             self._move_fn = self._build_move()
-        engine = self.engine
-        states = engine.init(num_games)
-        a_black = (jnp.arange(num_games) % 2) == 0
         max_moves = max_moves or self.config.max_step + 2
+        ka, kb = jax.random.split(key)
 
-        for i in range(max_moves):
-            mover = states.next_player           # [G]
-            a_moves = jnp.where(
-                a_black, mover == BLACK, mover == WHITE
-            )
-            key, k = jax.random.split(key)
-            states, done = self._move_fn(
-                states, vars_a, vars_b, a_moves, k
-            )
-            if bool(jnp.all(done)):
-                break
-
-        winner = engine.winner(states)
-        a_wins = np.asarray(
-            jnp.where(a_black, winner == BLACK, winner == WHITE)
-        )
+        wins = []
+        g1 = (num_games + 1) // 2
+        g2 = num_games - g1
+        if g1:
+            winner = self._play_group(vars_a, vars_b, g1, ka, max_moves)
+            wins.append(np.asarray(winner == BLACK))
+        if g2:
+            winner = self._play_group(vars_b, vars_a, g2, kb, max_moves)
+            wins.append(np.asarray(winner == WHITE))
+        a_wins = np.concatenate(wins)
         return MatchResult(a_wins, float(a_wins.mean()))
 
     # ------------------------------------------------------------------

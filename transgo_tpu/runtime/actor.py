@@ -64,10 +64,17 @@ class DrainChunk(NamedTuple):
 
 class SelfPlayActor:
     def __init__(self, config, mcts: MCTS, network: TransGoNetwork,
-                 drain_size: int = 8):
+                 drain_size: int = 8, sub_network=None, sub_vars=None):
+        """``sub_network``/``sub_vars``: optional frozen 7x7 sub-model for
+        scale transfer (reference self_play.py:884-899). When present, the
+        jitted entry points accept a traced ``gamma`` blend weight and the
+        leaf eval mixes the sub-model's stitched policy/value
+        (curriculum.transfer); gamma=None falls back to the plain eval."""
         self.config = config
         self.mcts = mcts
         self.network = network
+        self.sub_network = sub_network
+        self.sub_vars = sub_vars
         self.engine = mcts.engine
         self.batch = config.selfplay_batch
         self.max_moves = config.max_step
@@ -93,7 +100,18 @@ class SelfPlayActor:
             self._init_games = lambda b, key: self.engine.init(b)
 
     # ------------------------------------------------------------------
-    def _eval_fn(self, variables):
+    def _eval_fn(self, variables, gamma=None):
+        """Leaf eval closure; with a sub-model and a traced ``gamma``,
+        the WP scale-transfer mix (self_play.py:796-829). gamma is a
+        traced scalar so the per-train-step decay (value_ratio_by_frame)
+        never retraces the search program."""
+        if gamma is not None and self.sub_network is not None:
+            from transgo_tpu.curriculum.transfer import make_transfer_eval_fn
+
+            return make_transfer_eval_fn(
+                self.config, self.network, variables,
+                self.sub_network, self.sub_vars, gamma,
+            )
         from transgo_tpu.search.evalfn import make_eval_fn
 
         return make_eval_fn(
@@ -103,13 +121,14 @@ class SelfPlayActor:
         )
 
     # ------------------------------------------------------------------
-    def init_state(self, variables, key) -> ActorState:
+    def init_state(self, variables, key, gamma=None) -> ActorState:
         b = self.batch
         t = self.max_moves
         key, kgames, knoise = jax.random.split(key, 3)
         tree = self.mcts.new_tree(b)
         tree = self.mcts.reset_root(
-            tree, self._eval_fn(variables), self._init_games(b, kgames)
+            tree, self._eval_fn(variables, gamma),
+            self._init_games(b, kgames),
         )
         if self.continuous:
             tree = self.mcts.root_dirichlet(tree, knoise)
@@ -131,15 +150,15 @@ class SelfPlayActor:
         )
 
     # ------------------------------------------------------------------
-    def play_move(self, state: ActorState,
-                  variables) -> Tuple[ActorState, TickOut]:
+    def play_move(self, state: ActorState, variables,
+                  gamma=None) -> Tuple[ActorState, TickOut]:
         """One move for every game (the body of continuous_self_play's inner
         loop, self_play.py:915-928). Pure — jit at the call site.
 
         The batch size is derived from the arrays (not config) so the same
         method body works on per-shard slices under shard_map."""
         b = state.move_count.shape[0]
-        eval_fn = self._eval_fn(variables)
+        eval_fn = self._eval_fn(variables, gamma)
         key, kmove = jax.random.split(state.rng)
 
         root_states = gather_nodes(state.tree, state.tree.root)
@@ -301,8 +320,8 @@ class SelfPlayActor:
             move_rounds=jnp.where(moved, 0, state.move_rounds),
         )
 
-    def play_tick(self, state: ActorState,
-                  variables) -> Tuple[ActorState, TickOut]:
+    def play_tick(self, state: ActorState, variables,
+                  gamma=None) -> Tuple[ActorState, TickOut]:
         """Continuous self-play, host-drained variant: one search round per
         tick, with *per-board* move boundaries. A board plays its move the
         tick its own root hits the visit target — no board ever waits for
@@ -319,7 +338,7 @@ class SelfPlayActor:
         the call site."""
         b = state.move_count.shape[0]
         bar = jnp.arange(b)
-        eval_fn = self._eval_fn(variables)
+        eval_fn = self._eval_fn(variables, gamma)
         key, kround, ksample, knoise = jax.random.split(state.rng, 4)
         state = state.replace(rng=key)
 
@@ -355,7 +374,8 @@ class SelfPlayActor:
         )
 
     # ------------------------------------------------------------------
-    def run_chunk(self, state: ActorState, dreplay, variables):
+    def run_chunk(self, state: ActorState, dreplay, variables,
+                  gamma=None):
         """The production continuous loop: ``chunk_ticks`` fused ticks under
         one jit — move phase, on-device game reset, and device-replay append
         of finished games all inside a lax.scan, so the host syncs once per
@@ -370,7 +390,7 @@ class SelfPlayActor:
 
         b = self.batch
         bar = jnp.arange(b)
-        eval_fn = self._eval_fn(variables)
+        eval_fn = self._eval_fn(variables, gamma)
         # per-tick append budget: expected game-ends per tick is about
         # B / (rounds_per_move * game_length) — give it ~30x headroom
         d = min(b, max(16, b // 64))
@@ -500,7 +520,7 @@ class SelfPlayActor:
         )
 
     def reset_done(self, state: ActorState, variables,
-                   done: jnp.ndarray) -> ActorState:
+                   done: jnp.ndarray, gamma=None) -> ActorState:
         """Start fresh games on finished boards (reset_root per game,
         self_play.py:910)."""
         b = done.shape[0]
@@ -509,7 +529,7 @@ class SelfPlayActor:
         state = state.replace(rng=key)
         tree = self._fresh_roots(state.tree, done, kgames)
         tree = self.mcts._expand_roots(
-            tree, self._eval_fn(variables), done
+            tree, self._eval_fn(variables, gamma), done
         )
         if self.continuous:
             tree = self.mcts.root_dirichlet(tree, knoise, mask=done)

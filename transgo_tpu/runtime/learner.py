@@ -87,6 +87,11 @@ class Learner:
             "own_loss": own_loss,
             "act_policy_loss": policy_loss,
             "entropy_loss": entropy_loss,
+            # per-sample |value - win_z| for PER priority feedback (the
+            # reference's PER is write-only / dormant,
+            # replay_buffer.py:184-219 with no caller; we close the loop).
+            # Callers that log or pmean metrics pop this array first.
+            "td_error": jnp.abs(value[:, 0] - win_z),
         }
         return total, (new_stats, metrics)
 
@@ -125,6 +130,10 @@ class Learner:
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, batch
         )
+        # per-sample td_error is shard-local; pmean would scramble it and
+        # the replicated out_spec cannot carry it — PER feedback is a
+        # single-host concern (the host replay buffer path)
+        metrics.pop("td_error", None)
         grads = jax.lax.pmean(grads, axis_name)
         new_stats = jax.lax.pmean(new_stats, axis_name)
         metrics = jax.lax.pmean(metrics, axis_name)

@@ -157,6 +157,13 @@ class MCTS:
         # main engines' Q = -(parent eval value) (self_play.py:29-36 vs
         # scale_train_live/self_play.py:149-156)
         self.child_init_zero = bool(getattr(config, "child_init_zero", False))
+        # test hook: resolve UCB ties by lowest action index instead of
+        # uniformly at random (the reference's np.random.choice,
+        # self_play.py:708-714) — golden-search parity fixtures set this on
+        # both sides so RNG-coupled tie-breaks never diverge
+        self.deterministic_ties = bool(
+            getattr(config, "deterministic_tie_break", False)
+        )
 
     # ------------------------------------------------------------------
     def new_tree(self, batch: int) -> Tree:
@@ -190,8 +197,12 @@ class MCTS:
         obs = self.encoder(states, analysis)
         policy, value = eval_fn(obs, states.next_player)
 
-        scale = jnp.sum(jnp.where(legal, policy, 0.0), axis=1, keepdims=True)
-        prior = jnp.where(legal, policy, 0.0) / jnp.maximum(scale, 1e-12)
+        # root expansions keep the RAW policy values on legal actions — the
+        # reference renormalizes over legal moves only in complete_update
+        # (self_play.py:738-741); reset_root / update_with_action expand
+        # with the un-renormalized softmax (self_play.py:600-605, 866-871),
+        # so root priors sum to < 1 when the net puts mass on pass/illegal
+        prior = jnp.where(legal, policy, 0.0)
 
         do = need & ~tree.terminal[bar, root]
         # one-hot masked root-row rewrites (see _path_onehot comment)
@@ -417,7 +428,15 @@ class MCTS:
 
         # tie-break noise for every depth, drawn once (threefry inside the
         # while body costs ~as much as the selection math itself)
-        noise_all = jax.random.uniform(key, (dmax, b, a))
+        if self.deterministic_ties:
+            # strictly decreasing by action index -> argmax picks the
+            # lowest-indexed tied action
+            noise_all = jnp.broadcast_to(
+                (a - jnp.arange(a, dtype=jnp.float32)) / (a + 1.0),
+                (dmax, b, a),
+            )
+        else:
+            noise_all = jax.random.uniform(key, (dmax, b, a))
 
         def body(carry):
             cur, depth, moving, (sel_p, sel_a, sel_c), path = carry
