@@ -107,6 +107,58 @@ def bench_selfplay(batch: int = 256, sims: int = 50):
     return moves / dt, moves * sims / dt
 
 
+def bench_19x19(batch: int = 8, sims: int = 800):
+    """BASELINE config #5: 19x19, 800-sim WP search, full-width MainNetwork
+    (128 features, attention blocks — the 'deeper ResNet' stressor: 362
+    actions, ~1.5k-node trees). Reports moves/s, sim-steps/s, the
+    depth-capped descent rate (must not be silent — VERDICT r1 item 10),
+    and the tree's HBM footprint."""
+    from transgo_tpu.config import Config
+    from transgo_tpu.models import build_network
+    from transgo_tpu.ops import GoEngine
+    from transgo_tpu.runtime.actor import SelfPlayActor
+    from transgo_tpu.search.mcts import MCTS, SearchMode
+
+    cfg = Config(
+        board_size=19, komi=7.5, num_simulation=sims,
+        selfplay_batch=batch, num_features=128,
+    )
+    eng = GoEngine(19, cfg.komi, cfg.max_step)
+    net = build_network(cfg, "main")
+    variables = net.init(jax.random.PRNGKey(0))
+    mcts = MCTS(cfg, eng, SearchMode.WP)
+    actor = SelfPlayActor(cfg, mcts, net)
+    state = actor.init_state(variables, jax.random.PRNGKey(1))
+    tree_bytes = sum(
+        x.nbytes for x in jax.tree_util.tree_leaves(state.tree)
+    )
+    play = jax.jit(actor.play_move)
+    state, out = play(state, variables)     # compile
+    jax.block_until_ready(out.done)
+    for _ in range(2):
+        state, out = play(state, variables)
+    jax.block_until_ready(out.done)
+    dc0 = int(np.asarray(state.tree.depth_capped.sum()))
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        state, out = play(state, variables)
+    jax.block_until_ready(out.done)
+    dt = time.perf_counter() - t0
+    dc = int(np.asarray(state.tree.depth_capped.sum())) - dc0
+    moves = batch * reps
+    descents = moves * (sims // cfg.parallel_readouts) \
+        * cfg.parallel_readouts
+    return {
+        "moves_per_s": moves / dt,
+        "sim_steps_per_s": moves * sims / dt,
+        "depth_capped_rate": dc / max(1, descents),
+        "search_max_depth": cfg.search_max_depth,
+        "max_nodes": cfg.max_nodes,
+        "tree_hbm_mb": tree_bytes / 2**20,
+    }
+
+
 def bench_train(batch: int = 2048):
     from transgo_tpu.config import Config
     from transgo_tpu.models import build_network
@@ -143,14 +195,30 @@ def main():
     ap.add_argument("--size", type=int, default=9,
                     help="board size (19 = BASELINE config #5 env)")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--b19", action="store_true",
+                    help="also run BASELINE config #5 (19x19, 800 sims)")
     args = ap.parse_args()
 
+    b19 = None
     if args.all:
         try:
             tps = bench_train()
             print(f"train: {tps:.0f} samples/s", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"sub-bench failed: {e}", file=sys.stderr)
+    if args.b19 or args.all:
+        try:
+            b19 = bench_19x19()
+            print(
+                "19x19/800sim: {moves_per_s:.2f} moves/s "
+                "({sim_steps_per_s:.0f} sim-steps/s), depth-capped "
+                "{depth_capped_rate:.2%} of descents at depth "
+                "{search_max_depth}, tree {tree_hbm_mb:.0f} MB "
+                "({max_nodes} nodes)".format(**b19),
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"19x19 bench failed: {e}", file=sys.stderr)
 
     mps, sps = bench_selfplay()
     print(f"selfplay: {mps:.1f} moves/s ({sps:.0f} sim-steps/s)",
@@ -166,6 +234,8 @@ def main():
             "selfplay_moves_per_s": round(mps, 1),
             "env_only_steps_per_s": round(eps, 1),
             "env_only_vs_baseline": round(eps / BASELINE_PER_CHIP, 4),
+            **({"b19": {k: round(v, 4) for k, v in b19.items()}}
+               if b19 else {}),
         },
     }))
 

@@ -135,6 +135,38 @@ class TestSymmetry:
             assert np.allclose(np.asarray(p8[4 + i - 1]), ref_pi_f)
             assert np.allclose(np.asarray(w8[4 + i - 1]), ref_own_f)
 
+    def test_random_batch_matches_per_sample_transforms(self):
+        """The sample-time gather formulation (one permutation-table gather
+        per tensor) must equal the rot90/flip formulation for every drawn
+        symmetry."""
+        from transgo_tpu.ops.symmetry import (
+            random_symmetry_batch,
+            transform_own,
+        )
+
+        size, b = 9, 16
+        rng = np.random.default_rng(7)
+        obs = jnp.asarray(rng.random((b, size, size, 10)), jnp.float32)
+        pi = jnp.asarray(rng.random((b, size * size + 1)), jnp.float32)
+        own = jnp.asarray(rng.random((b, size * size)), jnp.float32)
+        key = jax.random.PRNGKey(3)
+        o2, p2, w2 = random_symmetry_batch(key, obs, pi, own, size)
+        syms = jax.random.randint(key, (b,), 0, 8)  # same key -> same draw
+        for i in range(b):
+            s = jnp.asarray(int(syms[i]))
+            o_ref = jnp.moveaxis(
+                transform_plane(jnp.moveaxis(obs[i], -1, 0), s), 0, -1
+            )
+            assert np.allclose(np.asarray(o_ref), np.asarray(o2[i]))
+            assert np.allclose(
+                np.asarray(transform_policy(pi[i], s, size)),
+                np.asarray(p2[i]),
+            )
+            assert np.allclose(
+                np.asarray(transform_own(own[i], s, size)),
+                np.asarray(w2[i]),
+            )
+
 
 class TestSubBoard:
     def test_crop_matches_reference_layout(self):

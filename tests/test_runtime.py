@@ -130,6 +130,19 @@ class TestSchedules:
         assert abs(cfg.value_ratio_by_frame(0) - 1.0) < 1e-9
         assert cfg.value_ratio_by_frame(5000) < 0.02
 
+    def test_auto_defaults_per_board_size(self):
+        """max_step / search_max_depth auto-scale with the board: the
+        reference constants for 9x9/7x7 (configure.py:16,
+        scale_train_bound/GoEnv/environment.py:37), ~1.5/point elsewhere."""
+        assert Config(board_size=9).max_step == 120
+        assert Config(board_size=7).max_step == 74
+        assert Config(board_size=19).max_step == 542
+        assert Config(board_size=9).search_max_depth == 48
+        assert Config(board_size=19).search_max_depth == 96
+        # explicit values always win
+        c = Config(board_size=19, max_step=200, search_max_depth=30)
+        assert (c.max_step, c.search_max_depth) == (200, 30)
+
 
 @pytest.mark.slow
 def test_pipeline_end_to_end(tmp_path):

@@ -35,9 +35,30 @@ def run(overlap: bool, args) -> float:
         results_path="/tmp/bench_interleaved",
     )
     pipe = TrainPipeline(cfg, quiet=True)
-    # warm up: compile + let the first games finish so training engages
+    # warm up: compile, then keep going until games finish AND training
+    # engages (a game takes ~max_step * batch / moves-per-s wall seconds —
+    # far longer than the compile), with args.warm as the minimum and
+    # 10*warm the bail-out
     t0 = time.time()
-    while time.time() - t0 < args.warm:
+    while time.time() - t0 < args.warm or (
+        pipe.now_train_steps == 0 and time.time() - t0 < 10 * args.warm
+    ):
+        pipe.run_tick()
+    pipe.flush_pending()
+    if pipe.now_train_steps == 0:
+        print(f"[warn] training never engaged during warmup "
+              f"({pipe.now_play_games} games)")
+    # cancel the cold-start debt: the ratio controller is cumulative
+    # (now_train/now_play < ratio) and training is blocked until the first
+    # game finishes, so the warmup moves owe ratio*moves train steps —
+    # left in place, the measure window times that catch-up burst instead
+    # of the steady state. Rebase the play counter so the controller sits
+    # exactly at target, then warm the steady-state interleave itself.
+    pipe.now_play_steps = min(
+        pipe.now_play_steps, int(pipe.now_train_steps / args.ratio)
+    )
+    t_ss = time.time()
+    while time.time() - t_ss < 30:
         pipe.run_tick()
     pipe.flush_pending()
     games0 = pipe.now_play_games

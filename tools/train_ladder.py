@@ -31,16 +31,50 @@ def main():
     ap.add_argument("--results", default="./results_ladder")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pretrain", type=float, default=0,
+                    help="seconds of 7x7 scale-bound pretraining first; "
+                    "the resulting sub_policy drives scale transfer "
+                    "(the reference's full curriculum: scale_train_bound "
+                    "-> transfer-assisted 9x9, configure.py:52/82-86)")
+    ap.add_argument("--sub-model", default=None,
+                    help="existing 7x7 sub_policy dir (skips --pretrain)")
     args = ap.parse_args()
 
     from transgo_tpu.config import Config
     from transgo_tpu.runtime.pipeline import TrainPipeline
+
+    sub_model = args.sub_model
+    if args.pretrain > 0 and not sub_model:
+        from transgo_tpu.curriculum import build_scale_bound_pipeline
+
+        pre = build_scale_bound_pipeline(
+            quiet=False,
+            selfplay_batch=args.batch,
+            continuous_selfplay=True,
+            evaluate_num=10**9,
+            results_path=os.path.join(args.results, "pretrain"),
+            seed=args.seed,
+        )
+        print(f"[ladder] 7x7 scale-bound pretrain for {args.pretrain:.0f}s",
+              flush=True)
+        pre.train(max_seconds=args.pretrain, log_every=200)
+        pre.flush_pending()
+        pre._save_policy(pre.learner.variables(pre.train_state),
+                         "sub_policy")
+        sub_model = os.path.join(
+            os.path.abspath(args.results), "pretrain", "sub_policy"
+        )
+        print(f"[ladder] pretrain done: {pre.now_play_games} games, "
+              f"{pre.now_train_steps} train steps -> {sub_model}",
+              flush=True)
+        del pre
 
     cfg = Config(
         selfplay_batch=args.batch,
         continuous_selfplay=True,
         results_path=args.results,
         seed=args.seed,
+        init_sub_model=sub_model,
         # arena gate every ~1500 ticks as the reference (configure.py:46)
         evaluate_num=1500,
     )

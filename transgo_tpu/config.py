@@ -29,7 +29,11 @@ class Config:
     komi: float = 7.5
     black: int = 1
     white: int = 2
-    max_step: int = 120                # hard game-length cutoff
+    # hard game-length cutoff; 0 = auto per board size: 120 for 9x9 and
+    # 74 for 7x7 (the reference's constants, configure.py:16 /
+    # scale_train_bound/GoEnv/environment.py:37 — both ~1.5 points per
+    # intersection), 1.5*n rounded to even for other sizes (542 at 19x19)
+    max_step: int = 0
 
     # ---------- replay buffer (reference configure.py:19-21) ----------
     buffer_size: int = 1_500_000
@@ -156,8 +160,11 @@ class Config:
     max_nodes: int = 0                 # MCTS tree capacity; 0 = auto
     # static bound on recorded search-path depth. Backup/incomplete scatters
     # scale with it, so keep it tight; a deeper descent falls back to a
-    # no-op round (bounded by the search's max_rounds guard). 0 = max_step.
-    search_max_depth: int = 48
+    # no-op round (bounded by the search's max_rounds guard) and is counted
+    # in the depth_capped telemetry. 0 = auto per board size: 48 up to 9x9,
+    # 96 above (19x19 800-sim trees go deeper; measured cap rates in
+    # BENCH_r02). Pass max_step explicitly to uncap.
+    search_max_depth: int = 0
     tree_reuse: bool = True            # subtree promotion across moves
     compute_dtype: str = "bfloat16"    # net compute dtype on TPU
     param_dtype: str = "float32"
@@ -168,6 +175,13 @@ class Config:
     # ------------------------------------------------------------------
     def __post_init__(self):
         self.input_dim = self.encode_state_channels
+        if self.max_step == 0:
+            n = self.board_size * self.board_size
+            self.max_step = {7: 74, 9: 120}.get(
+                self.board_size, int(round(1.5 * n / 2)) * 2
+            )
+        if self.search_max_depth == 0:
+            self.search_max_depth = 48 if self.board_size <= 9 else 96
         if self.max_nodes == 0:
             # room for one move's simulations + reused subtree + slack
             self.max_nodes = 2 * self.num_simulation + 64

@@ -46,19 +46,44 @@ def transform_own(own: jnp.ndarray, sym: jnp.ndarray, size: int) -> jnp.ndarray:
     ).reshape(own.shape)
 
 
+def _perm_table(size: int):
+    """int32[8, size*size] flat-index permutation per D4 symmetry:
+    out.flat[i] = in.flat[perm[s, i]] reproduces transform_plane(x, s).
+    Computed once per board size with numpy at trace time."""
+    import numpy as np
+
+    n = size * size
+    base = np.arange(n).reshape(size, size)
+    perms = []
+    for s in range(8):
+        m = base
+        for _ in range(s % 4 + 1):
+            m = np.rot90(m)
+        if s // 4:
+            m = np.fliplr(m)
+        perms.append(m.reshape(n))
+    return jnp.asarray(np.stack(perms), jnp.int32)
+
+
 def random_symmetry_batch(key, obs, pi, own, size: int):
-    """Per-sample random D4 transform of an (obs[NHWC], pi, own) batch."""
-    b = obs.shape[0]
+    """Per-sample random D4 transform of an (obs[NHWC], pi, own) batch.
+
+    One gather per tensor against a precomputed [8, H*W] permutation table
+    — the rot90/flip formulation (transform_plane) vmapped over the batch
+    lowers to a masked per-sample while_loop of full-array copies, which is
+    the fused sample+augment+train step's avoidable overhead."""
+    b, h, w, c = obs.shape
+    n = size * size
     syms = jax.random.randint(key, (b,), 0, 8)
+    perm = _perm_table(size)[syms]                       # [B, n]
 
-    def one(o, p, w, s):
-        # obs is NHWC: move channel out of the spatial tail
-        o = jnp.moveaxis(o, -1, 0)           # [C, H, W]
-        o = transform_plane(o, s)
-        o = jnp.moveaxis(o, 0, -1)
-        return o, transform_policy(p, s, size), transform_own(w, s, size)
-
-    return jax.vmap(one)(obs, pi, own, syms)
+    obs_t = jnp.take_along_axis(
+        obs.reshape(b, n, c), perm[:, :, None], axis=1
+    ).reshape(b, h, w, c)
+    board_t = jnp.take_along_axis(pi[:, :n], perm, axis=1)
+    pi_t = jnp.concatenate([board_t, pi[:, n:]], axis=1)
+    own_t = jnp.take_along_axis(own, perm, axis=1)
+    return obs_t, pi_t, own_t
 
 
 def all_symmetries(obs_chw: jnp.ndarray, pi: jnp.ndarray, own: jnp.ndarray,
