@@ -87,3 +87,40 @@ def test_gradients_flow():
     leaves = jax.tree_util.tree_leaves(g)
     total = sum(float(jnp.abs(x).sum()) for x in leaves)
     assert np.isfinite(total) and total > 0
+
+
+def test_extra_blocks_apply():
+    """The inventory-parity blocks (reference model.py:327-399, all unused
+    by shipped nets) initialize and forward with the expected shapes; the
+    noisy layer actually perturbs its mean output when sampled."""
+    from transgo_tpu.models.extras import (
+        GAPBlock,
+        NoisyDense,
+        SelfAttentionFusion,
+    )
+
+    kq, kk, kv, ki, kn = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(kv, (2, 5, 5, 16))
+
+    fusion = SelfAttentionFusion()
+    vf = fusion.init(ki, jax.random.normal(kq, x.shape),
+                     jax.random.normal(kk, x.shape), x)
+    out = fusion.apply(vf, jax.random.normal(kq, x.shape),
+                       jax.random.normal(kk, x.shape), x)
+    assert out.shape == x.shape
+
+    gap = GAPBlock(out_units=8)
+    vg = gap.init(ki, x)
+    assert gap.apply(vg, x).shape == (2, 8)
+
+    noisy = NoisyDense(features=6)
+    flat = x.reshape(2, -1)
+    vn = noisy.init(ki, flat)
+    mean_out = noisy.apply(vn, flat)
+    assert mean_out.shape == (2, 6)
+    noised = noisy.apply(vn, flat, noisy=True, rng=kn)
+    assert not np.allclose(np.asarray(mean_out), np.asarray(noised))
+    # eval mode (no rng) is deterministic = mean layer
+    assert np.allclose(
+        np.asarray(noisy.apply(vn, flat)), np.asarray(mean_out)
+    )

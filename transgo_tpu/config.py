@@ -157,6 +157,9 @@ class Config:
     # fused ticks per device call in continuous mode (one host sync per
     # chunk; finished games append to the device replay inside the chunk)
     selfplay_chunk_ticks: int = 16
+    # fused-chunk per-tick device-replay append budget; 0 = auto
+    # (max(32, B/8)). Finished games beyond it defer to later ticks.
+    append_budget: int = 0
     max_nodes: int = 0                 # MCTS tree capacity; 0 = auto
     # static bound on recorded search-path depth. Backup/incomplete scatters
     # scale with it, so keep it tight; a deeper descent falls back to a

@@ -43,6 +43,12 @@ class ActorState:
     # continuous-mode bookkeeping (unused by the lockstep play_move path):
     visit_target: jnp.ndarray  # float32 [B] root-visit goal this move
     move_rounds: jnp.ndarray   # int32 [B] search rounds spent this move
+    # fused-chunk bookkeeping: finished boards beyond a tick's append
+    # budget freeze (no move, no search, trajectory intact) until a later
+    # tick drains them — games are deferred, never dropped. Synchronized
+    # finishes are real: the whole first generation hits max_step on the
+    # same tick.
+    await_drain: jnp.ndarray   # bool [B]
 
 
 class TickOut(NamedTuple):
@@ -84,6 +90,14 @@ class SelfPlayActor:
         self.continuous = bool(getattr(config, "continuous_selfplay", False))
         self.chunk_ticks = int(getattr(config, "selfplay_chunk_ticks", 16))
         self.drain_size = min(drain_size, self.batch)
+        # fused-chunk per-tick append budget: a full-batch synchronized
+        # burst (the whole first generation hits max_step on the same tick)
+        # drains in ceil(B/budget) ticks, the excess boards frozen via
+        # ActorState.await_drain. Config.append_budget overrides (tests).
+        self.append_budget = int(
+            getattr(config, "append_budget", 0)
+            or min(self.batch, max(32, self.batch // 8))
+        )
         # trajectory shapes follow the search's observation/action space
         # (full board for the main run; the 7x7 window for scale_live)
         self.obs_size = mcts.encoder.obs_size
@@ -147,6 +161,7 @@ class SelfPlayActor:
             visit_target=tree.stats[bar, tree.root, VISIT]
             + self.mcts.num_simulations,
             move_rounds=jnp.zeros((b,), jnp.int32),
+            await_drain=jnp.zeros((b,), bool),
         )
 
     # ------------------------------------------------------------------
@@ -231,9 +246,10 @@ class SelfPlayActor:
         tree = state.tree
 
         root_visits = tree.stats[bar, tree.root, VISIT]
-        ready = (root_visits >= state.visit_target) | (
-            state.move_rounds >= self.mcts.num_simulations
-        )
+        ready = (
+            (root_visits >= state.visit_target)
+            | (state.move_rounds >= self.mcts.num_simulations)
+        ) & ~state.await_drain  # frozen boards wait for their drain slot
 
         root_states = gather_nodes(tree, tree.root)
         counts, pi = self.mcts.action_statistics(tree)
@@ -383,20 +399,23 @@ class SelfPlayActor:
         makes continuous mode pay off through a high-latency device link.
 
         Returns (state, dreplay, stats) with stats = {games, moves,
-        dropped} int32 scalars accumulated over the chunk. ``dropped``
-        counts finished games beyond the per-tick append budget (never
-        expected in practice; reported, not silent)."""
+        backlog} int32 scalars: ``games`` counts games at DRAIN time (they
+        enter the ring and the pipeline counters in the same tick) and
+        ``backlog`` is the number of boards still frozen awaiting a drain
+        slot at chunk end. Finished games beyond a tick's append budget
+        are never dropped: their boards freeze (no move, no search,
+        trajectory intact — see ActorState.await_drain) until a later
+        tick drains them. Synchronized finishes are the norm, not a tail
+        case: the entire first generation hits max_step on the same tick."""
         from transgo_tpu.runtime.device_replay import append_chunk
 
         b = self.batch
         bar = jnp.arange(b)
         eval_fn = self._eval_fn(variables, gamma)
-        # per-tick append budget: expected game-ends per tick is about
-        # B / (rounds_per_move * game_length) — give it ~30x headroom
-        d = min(b, max(16, b // 64))
+        d = self.append_budget
 
         def tick(carry, _):
-            state, dreplay, games, moves, dropped = carry
+            state, dreplay, games, moves = carry
             key, kround, ksample, knoise, kgames = jax.random.split(
                 state.rng, 5
             )
@@ -405,14 +424,19 @@ class SelfPlayActor:
             state, ready, done, need_expand = self._move_phase(
                 state, ksample
             )
+            # pending = just finished this tick + frozen from earlier ticks;
+            # the first d (stable order) drain now, the rest freeze
+            pending = done | state.await_drain
+            ranks = jnp.cumsum(pending.astype(jnp.int32)) - 1
+            drained = pending & (ranks < d)
 
             def on_done(op):
                 state, dreplay = op
-                win_z, own_z = self._label_done(state, done)
-                # compact finished boards to the front, take the first d
-                order = jnp.argsort(~done)[:d]
+                win_z, own_z = self._label_done(state, pending)
+                # compact pending boards to the front, take the first d
+                order = jnp.argsort(~pending)[:d]
                 t_idx = jnp.arange(self.max_moves)[None, :]
-                valid = done[order][:, None] & (
+                valid = pending[order][:, None] & (
                     t_idx < state.move_count[order][:, None]
                 )
                 dreplay = append_chunk(
@@ -423,24 +447,27 @@ class SelfPlayActor:
                     own_z[order],
                     valid,
                 )
-                # fresh games on the finished boards, searched immediately
+                # fresh games on the drained boards, searched immediately
                 state = state.replace(
-                    tree=self._fresh_roots(state.tree, done, kgames),
-                    move_count=jnp.where(done, 0, state.move_count),
+                    tree=self._fresh_roots(state.tree, drained, kgames),
+                    move_count=jnp.where(drained, 0, state.move_count),
                 )
                 return state, dreplay
 
             state, dreplay = jax.lax.cond(
-                jnp.any(done), on_done, lambda op: op, (state, dreplay)
+                jnp.any(pending), on_done, lambda op: op, (state, dreplay)
             )
+            state = state.replace(await_drain=pending & ~drained)
             # one batched root eval for advance sites + reset sites
             state = state.replace(
                 tree=self.mcts._expand_roots(
-                    state.tree, eval_fn, need_expand | done
+                    state.tree, eval_fn, need_expand | drained
                 )
             )
+            # drained boards start a fresh move (noise + visit target on the
+            # new root); still-frozen boards get target 0 (idle)
             state = self._finish_move_setup(
-                state, ready, jnp.zeros_like(done), knoise
+                state, ready | drained, pending & ~drained, knoise
             )
 
             tree = state.tree
@@ -453,22 +480,21 @@ class SelfPlayActor:
                 move_rounds=state.move_rounds + active.astype(jnp.int32),
             )
 
-            n_done = jnp.sum(done.astype(jnp.int32))
             return (
                 state,
                 dreplay,
-                games + n_done,
+                games + jnp.sum(drained.astype(jnp.int32)),
                 moves + jnp.sum(ready.astype(jnp.int32)),
-                dropped + jnp.maximum(0, n_done - d),
             ), None
 
         zero = jnp.int32(0)
-        (state, dreplay, games, moves, dropped), _ = jax.lax.scan(
-            tick, (state, dreplay, zero, zero, zero), None,
+        (state, dreplay, games, moves), _ = jax.lax.scan(
+            tick, (state, dreplay, zero, zero), None,
             length=self.chunk_ticks,
         )
         return state, dreplay, {
-            "games": games, "moves": moves, "dropped": dropped,
+            "games": games, "moves": moves,
+            "backlog": jnp.sum(state.await_drain.astype(jnp.int32)),
             # cumulative depth-cap sit-outs (see Tree.depth_capped); the
             # pipeline diffs successive values for a per-chunk rate
             "depth_capped": jnp.sum(state.tree.depth_capped),
