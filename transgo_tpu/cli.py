@@ -76,12 +76,13 @@ def _load_policy(path):
 
 def cmd_elo(args):
     """Round-robin ladder over saved checkpoints -> MLE Elo table
-    (reference elo.py:96-109)."""
+    (reference elo.py:96-109). Default: the whole round-robin as ONE
+    lockstep batch (eval.pool_arena); --pairwise restores the reference's
+    sequential per-pairing loop."""
     import jax
     import numpy as np
 
     from transgo_tpu.config import Config
-    from transgo_tpu.eval.arena import Arena
     from transgo_tpu.eval.elo import rate_pool
     from transgo_tpu.models import build_network
     from transgo_tpu.ops import GoEngine
@@ -93,15 +94,24 @@ def cmd_elo(args):
     net = build_network(cfg, "main")
     pool = [_load_policy(p) for p in args.checkpoints]
     k = len(pool)
-    wins = np.zeros((k, k))
-    arena = Arena(cfg, mcts, net)
     key = jax.random.PRNGKey(args.seed)
-    for i in range(k):
-        for j in range(i + 1, k):
-            key, kk = jax.random.split(key)
-            res = arena.play_match(pool[i], pool[j], args.games, kk)
-            wins[i, j] += res.challenger_wins.sum()
-            wins[j, i] += (~res.challenger_wins).sum()
+    if args.pairwise:
+        from transgo_tpu.eval.arena import Arena
+
+        wins = np.zeros((k, k))
+        arena = Arena(cfg, mcts, net)
+        for i in range(k):
+            for j in range(i + 1, k):
+                key, kk = jax.random.split(key)
+                res = arena.play_match(pool[i], pool[j], args.games, kk)
+                wins[i, j] += res.challenger_wins.sum()
+                wins[j, i] += (~res.challenger_wins).sum()
+    else:
+        from transgo_tpu.eval.pool_arena import PoolArena
+
+        wins = PoolArena(cfg, mcts, net).round_robin(
+            pool, args.games, key
+        )
     elo = rate_pool(wins)
     for p, e in zip(args.checkpoints, elo):
         print(f"{p}: {e:+.1f}")
@@ -208,6 +218,9 @@ def main(argv=None):
     e.add_argument("--games", type=int, default=10)
     e.add_argument("--sims", type=int, default=50)
     e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--pairwise", action="store_true",
+                   help="sequential per-pairing matches (reference "
+                   "elo.py:96-109) instead of the one-batch pool arena")
 
     m = sub.add_parser("smoke")
     m.add_argument("--games", type=int, default=10)
