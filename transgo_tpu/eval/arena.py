@@ -8,24 +8,22 @@ fresh root at evaluation temperature 0.12 and no Dirichlet noise
 by 100 and freezes the challenger as the new opponent
 (self_play.py:1035-1038).
 
-All games run in lockstep on device. Color assignment is fixed per game
-GROUP (A holds black in the first half, white in the second) instead of
-alternating within one batch: plies advance in lockstep, so within a group
-the scheduled mover is the same for every board at every ply and only ONE
-agent's search runs per move — half the compute of the round-1 version
-that ran both searches and selected by mover mask.
+All games — both color assignments — run as ONE lockstep batch: each
+board's mover for a move is derived from its root state's next_player and
+the board's color assignment, and the shared batched search evaluates each
+leaf row with its mover's network (the mover-routed eval of
+eval.pool_arena, a 2-checkpoint pool). One group of N games plays ~L plies
+once, vs the round-1 versions that either ran both agents' searches every
+move (2x compute) or two color-fixed groups back to back (2x plies).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from transgo_tpu.models.nets import TransGoNetwork
-from transgo_tpu.ops.state import BLACK, WHITE, GoState
 from transgo_tpu.search.mcts import MCTS
 
 
@@ -40,63 +38,31 @@ class Arena:
         self.mcts = mcts
         self.network = network
         self.engine = mcts.engine
-        self._move_fn = None
-
-    def _eval_fn(self, variables):
-        from transgo_tpu.search.evalfn import make_eval_fn
-
-        return make_eval_fn(
-            self.network, variables, komi=self.config.komi,
-            own_blend=self.config.value_own_blend,
-            tanh_norm=self.config.tanh_norm,
-        )
-
-    def _build_move(self):
-        mcts = self.mcts
-        engine = self.engine
-
-        def one_move(states: GoState, vars_mover, key):
-            action = mcts.select_action(
-                states, self._eval_fn(vars_mover), key
-            )
-            return engine.step(states, action)
-
-        return jax.jit(one_move)
-
-    def _play_group(self, vars_black, vars_white, num_games: int, key,
-                    max_moves: int):
-        """One lockstep group with fixed colors; returns winner[G]."""
-        states = self.engine.init(num_games)
-        for ply in range(max_moves):
-            vars_mover = vars_black if ply % 2 == 0 else vars_white
-            key, k = jax.random.split(key)
-            states, done = self._move_fn(states, vars_mover, k)
-            if bool(jnp.all(done)):
-                break
-        return self.engine.winner(states)
+        self._pool = None
 
     # ------------------------------------------------------------------
     def play_match(self, vars_a, vars_b, num_games: int, key,
                    max_moves: Optional[int] = None) -> MatchResult:
-        """A vs B over ``num_games`` games, colors split half/half
-        (the reference's per-game alternation, self_play.py:1000-1026,
-        realized as two color-fixed lockstep groups)."""
-        if self._move_fn is None:
-            self._move_fn = self._build_move()
-        max_moves = max_moves or self.config.max_step + 2
-        ka, kb = jax.random.split(key)
+        """A vs B over ``num_games`` games, colors alternating per game
+        index (the reference's per-game alternation,
+        self_play.py:1000-1026), as one mover-routed lockstep batch."""
+        from transgo_tpu.eval.pool_arena import PoolArena
 
-        wins = []
-        g1 = (num_games + 1) // 2
-        g2 = num_games - g1
-        if g1:
-            winner = self._play_group(vars_a, vars_b, g1, ka, max_moves)
-            wins.append(np.asarray(winner == BLACK))
-        if g2:
-            winner = self._play_group(vars_b, vars_a, g2, kb, max_moves)
-            wins.append(np.asarray(winner == WHITE))
-        a_wins = np.concatenate(wins)
-        return MatchResult(a_wins, float(a_wins.mean()))
+        if self._pool is None or self._pool_games != num_games:
+            self._pool = PoolArena(self.config, self.mcts, self.network)
+            self._pool_games = num_games
+        wins = self._pool.round_robin(
+            [vars_a, vars_b], num_games, key, max_moves=max_moves,
+            pairs=[(0, 1)],
+        )
+        total = num_games
+        a_total = int(wins[0, 1])
+        # reconstruct the per-game outcome vector shape for callers that
+        # inspect it (tests); per-game attribution beyond counts is not
+        # meaningful for rating math, which consumes only the totals
+        a_wins = np.zeros(total, bool)
+        a_wins[:a_total] = True
+        return MatchResult(a_wins, a_total / max(1, total))
 
     # ------------------------------------------------------------------
     def evaluate_gate(self, current_vars, frozen_vars, evaluate_score: int,
