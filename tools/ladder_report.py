@@ -1,0 +1,60 @@
+"""Summarize a training run's metrics.jsonl: throughput, loss trajectory,
+gate promotions — the table backing the README's end-to-end learning
+section. Pure host-side; no device use.
+
+Usage: python tools/ladder_report.py [--metrics results_ladder/metrics.jsonl]
+"""
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metrics", default="results_ladder/metrics.jsonl")
+    ap.add_argument("--every", type=float, default=1800,
+                    help="row cadence in run seconds")
+    args = ap.parse_args()
+
+    rows = []
+    with open(args.metrics) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    if not rows:
+        print("no metrics")
+        return
+
+    print(f"{'t(min)':>7} {'games':>6} {'play':>9} {'train':>7} "
+          f"{'ratio':>6} {'lr':>8} {'loss':>6} {'policy':>6} "
+          f"{'value':>6} {'own':>6} {'mv/s':>6}")
+    next_t = 0.0
+    for r in rows:
+        if r["t"] >= next_t or r is rows[-1]:
+            next_t = r["t"] + args.every
+            print(
+                f"{r['t'] / 60:7.0f} {int(r['now_play_games']):6d} "
+                f"{int(r['now_play_steps']):9d} "
+                f"{int(r['now_train_steps']):7d} "
+                f"{r['train_play_ratio']:6.3f} {r['learn_rate']:8.1e} "
+                f"{r.get('total_loss', float('nan')):6.3f} "
+                f"{r.get('act_policy_loss', float('nan')):6.3f} "
+                f"{r.get('value_loss', float('nan')):6.3f} "
+                f"{r.get('own_loss', float('nan')):6.3f} "
+                f"{r.get('play_steps_per_s', float('nan')):6.1f}"
+            )
+    last = rows[-1]
+    dt = last["t"] - rows[0]["t"]
+    print(
+        f"\ntotals: {int(last['now_play_games'])} games, "
+        f"{int(last['now_play_steps'])} moves, "
+        f"{int(last['now_train_steps'])} train steps in {dt / 60:.0f} min "
+        f"({last['now_play_games'] / max(dt / 3600, 1e-9):.0f} games/h, "
+        f"avg {last['now_play_steps'] / max(dt, 1e-9):.1f} moves/s "
+        f"interleaved)"
+    )
+
+
+if __name__ == "__main__":
+    main()
