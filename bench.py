@@ -16,17 +16,59 @@ stdout last.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/transgo_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+BASELINE_PER_CHIP = 500_000 / 16
+
+# Backend-init watchdog (VERDICT r2 item 2): probe the backend in a
+# subprocess under a hard timeout BEFORE this process touches jax, so a
+# hung/unavailable TPU produces ONE diagnostic JSON line instead of a
+# >9-minute hang plus a 40-line traceback.
+BACKEND_PROBE_TIMEOUT_S = 150
+
+
+def _probe_backend():
+    """Return (ok, diagnosis) after a bounded jax.devices() in a child."""
+    code = (
+        "import jax, sys; d = jax.devices(); "
+        "print('|'.join(str(x) for x in d))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=BACKEND_PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False, (
+            f"backend init timed out after {BACKEND_PROBE_TIMEOUT_S}s "
+            "(jax.devices() hung)"
+        )
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return False, (tail[-1] if tail else f"probe rc={r.returncode}")
+    return True, r.stdout.strip()
+
+
+_ok, _diag = _probe_backend()
+if not _ok:
+    print(json.dumps({
+        "metric": "selfplay_env_steps_per_s_per_chip",
+        "value": 0,
+        "unit": "steps/s",
+        "vs_baseline": 0,
+        "error": "backend_init_failed",
+        "diagnosis": _diag,
+    }))
+    sys.exit(1)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-BASELINE_PER_CHIP = 500_000 / 16
 
 
 def bench_env_steps(batch: int = 4096, iters: int = 64, size: int = 9):
@@ -233,7 +275,11 @@ def main():
         "extra": {
             "selfplay_moves_per_s": round(mps, 1),
             "env_only_steps_per_s": round(eps, 1),
+            # legacy key from BENCH_r01 (same definition as
+            # env_only_steps_per_s) so old-record comparisons stay valid
+            "env_steps_per_s_per_chip": round(eps, 1),
             "env_only_vs_baseline": round(eps / BASELINE_PER_CHIP, 4),
+            "backend": _diag,
             **({"b19": {k: round(v, 4) for k, v in b19.items()}}
                if b19 else {}),
         },

@@ -137,7 +137,10 @@ class TestSchedules:
         assert Config(board_size=9).max_step == 120
         assert Config(board_size=7).max_step == 74
         assert Config(board_size=19).max_step == 542
-        assert Config(board_size=9).search_max_depth == 48
+        # auto depth cap: min(max_step + 2, 64) at <=9x9 — the flat 48
+        # bound routinely late-game at 9x9 (VERDICT r2 weak #3)
+        assert Config(board_size=9).search_max_depth == 64
+        assert Config(board_size=5, max_step=30).search_max_depth == 32
         assert Config(board_size=19).search_max_depth == 96
         # explicit values always win
         c = Config(board_size=19, max_step=200, search_max_depth=30)

@@ -26,15 +26,28 @@ def main():
         print("no metrics")
         return
 
+    # gate rows (one per arena eval) interleave with throughput rows —
+    # split by key presence
+    gates = [r for r in rows if "gate_win_ratio" in r]
+    rows = [r for r in rows if "now_play_games" in r]
+    if not rows:
+        print("no throughput rows")
+        return
+
+    def t_of(r):
+        # cum_seconds is monotone across resumes; fall back to the
+        # process-local t for pre-r3 logs
+        return r.get("cum_seconds", r["t"])
+
     print(f"{'t(min)':>7} {'games':>6} {'play':>9} {'train':>7} "
           f"{'ratio':>6} {'lr':>8} {'loss':>6} {'policy':>6} "
           f"{'value':>6} {'own':>6} {'mv/s':>6}")
     next_t = 0.0
     for r in rows:
-        if r["t"] >= next_t or r is rows[-1]:
-            next_t = r["t"] + args.every
+        if t_of(r) >= next_t or r is rows[-1]:
+            next_t = t_of(r) + args.every
             print(
-                f"{r['t'] / 60:7.0f} {int(r['now_play_games']):6d} "
+                f"{t_of(r) / 60:7.0f} {int(r['now_play_games']):6d} "
                 f"{int(r['now_play_steps']):9d} "
                 f"{int(r['now_train_steps']):7d} "
                 f"{r['train_play_ratio']:6.3f} {r['learn_rate']:8.1e} "
@@ -45,7 +58,7 @@ def main():
                 f"{r.get('play_steps_per_s', float('nan')):6.1f}"
             )
     last = rows[-1]
-    dt = last["t"] - rows[0]["t"]
+    dt = t_of(last) - t_of(rows[0])
     print(
         f"\ntotals: {int(last['now_play_games'])} games, "
         f"{int(last['now_play_steps'])} moves, "
@@ -54,6 +67,18 @@ def main():
         f"avg {last['now_play_steps'] / max(dt, 1e-9):.1f} moves/s "
         f"interleaved)"
     )
+    if gates:
+        print(f"\ngate timeline ({len(gates)} evals):")
+        print(f"{'tick':>7} {'games':>6} {'train':>7} {'win_ratio':>9} "
+              f"{'score':>6} {'promoted':>8}")
+        for g in gates:
+            print(
+                f"{int(g['step']):7d} {int(g.get('gate_games', -1)):6d} "
+                f"{int(g.get('gate_train_steps', -1)):7d} "
+                f"{g['gate_win_ratio']:9.2f} "
+                f"{int(g['gate_score']):6d} "
+                f"{'yes' if g.get('gate_promote') else 'no':>8}"
+            )
 
 
 if __name__ == "__main__":

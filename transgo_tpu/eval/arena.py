@@ -47,22 +47,21 @@ class Arena:
         index (the reference's per-game alternation,
         self_play.py:1000-1026), as one mover-routed lockstep batch."""
         from transgo_tpu.eval.pool_arena import PoolArena
+        from transgo_tpu.ops.state import BLACK
 
-        if self._pool is None or self._pool_games != num_games:
+        if self._pool is None:
             self._pool = PoolArena(self.config, self.mcts, self.network)
-            self._pool_games = num_games
-        wins = self._pool.round_robin(
+        wins, det = self._pool.round_robin(
             [vars_a, vars_b], num_games, key, max_moves=max_moves,
-            pairs=[(0, 1)],
+            pairs=[(0, 1)], return_details=True,
         )
-        total = num_games
+        # true per-game attribution: game g's board has black_idx[g] as
+        # black (0 = challenger A), so A won iff (winner==BLACK) matches
+        # (black_idx==0)
+        a_wins = (det["winner"] == BLACK) == (det["black_idx"] == 0)
         a_total = int(wins[0, 1])
-        # reconstruct the per-game outcome vector shape for callers that
-        # inspect it (tests); per-game attribution beyond counts is not
-        # meaningful for rating math, which consumes only the totals
-        a_wins = np.zeros(total, bool)
-        a_wins[:a_total] = True
-        return MatchResult(a_wins, a_total / max(1, total))
+        assert int(a_wins.sum()) == a_total
+        return MatchResult(a_wins, a_total / max(1, num_games))
 
     # ------------------------------------------------------------------
     def evaluate_gate(self, current_vars, frozen_vars, evaluate_score: int,

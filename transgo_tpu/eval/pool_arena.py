@@ -39,7 +39,7 @@ from transgo_tpu.ops.state import BLACK, WHITE
 from transgo_tpu.search.mcts import MCTS
 
 
-def make_pool_eval_fn(network, stacked_vars, mover_idx, batch: int,
+def make_pool_eval_fn(network, stacked_vars, mover_idx,
                       komi: float = 7.5, own_blend: float = 0.0,
                       tanh_norm: float = 0.45):
     """EvalFn(obs, to_play) routing each leaf row to its board's mover net.
@@ -49,11 +49,16 @@ def make_pool_eval_fn(network, stacked_vars, mover_idx, batch: int,
     agent evaluates every leaf of its search with its own model). Leaf
     rows are readout-major (``run_round`` reshapes [L, B, ...] to
     [L*B, ...]), so row r belongs to board r % batch; root expansions pass
-    exactly [B] rows, which the same modulus maps one-to-one.
+    exactly [B] rows, which the same modulus maps one-to-one. The board
+    count is derived from ``mover_idx`` AT TRACE TIME (not closed over as
+    a Python int), so a retrace at a new batch size routes correctly —
+    closing over a constructor-time batch silently mis-routed rows when
+    the same arena was reused with a different pool size (ADVICE r2).
     """
 
     def eval_fn(obs, to_play):
         n = obs.shape[0]
+        batch = mover_idx.shape[0]
         board = jnp.arange(n, dtype=jnp.int32) % batch
         mover = mover_idx[board]
 
@@ -84,7 +89,7 @@ class PoolArena:
         self.engine = mcts.engine
         self._move_fn = None
 
-    def _build_move(self, batch: int):
+    def _build_move(self):
         mcts = self.mcts
         engine = self.engine
         cfg = self.config
@@ -95,24 +100,30 @@ class PoolArena:
                 states.next_player == BLACK, black_idx, white_idx
             )
             eval_fn = make_pool_eval_fn(
-                self.network, stacked_vars, mover_idx, batch,
+                self.network, stacked_vars, mover_idx,
                 komi=cfg.komi, own_blend=cfg.value_own_blend,
                 tanh_norm=cfg.tanh_norm,
             )
             action = mcts.select_action(states, eval_fn, key)
             return engine.step(states, action)
 
+        # shape-generic: nothing batch-dependent is closed over, so jit's
+        # own shape-keyed cache handles a different pool size by retracing
         return jax.jit(one_move)
 
     # ------------------------------------------------------------------
     def round_robin(self, pool_vars: List, games_per_pair: int, key,
                     max_moves: Optional[int] = None,
-                    pairs: Optional[List[Tuple[int, int]]] = None
-                    ) -> np.ndarray:
+                    pairs: Optional[List[Tuple[int, int]]] = None,
+                    return_details: bool = False):
         """Play every pairing (or ``pairs``) for ``games_per_pair`` games.
 
         Returns wins[K, K] with wins[i, j] = games i won against j — the
-        input to :func:`transgo_tpu.eval.elo.rate_pool`.
+        input to :func:`transgo_tpu.eval.elo.rate_pool`. With
+        ``return_details`` also returns a dict of per-board arrays
+        (``winner`` color, ``black_idx``, ``white_idx``) so callers can
+        attribute outcomes to games/colors (Arena.play_match needs this
+        for a truthful per-game result vector).
         """
         k = len(pool_vars)
         if pairs is None:
@@ -130,7 +141,7 @@ class PoolArena:
             lambda *xs: jnp.stack(xs), *pool_vars
         )
         if self._move_fn is None:
-            self._move_fn = self._build_move(batch)
+            self._move_fn = self._build_move()
 
         states = self.engine.init(batch)
         max_moves = max_moves or self.config.max_step + 2
@@ -149,4 +160,8 @@ class PoolArena:
         black_won = winner == BLACK
         np.add.at(wins, (bi[black_won], wi[black_won]), 1)
         np.add.at(wins, (wi[~black_won], bi[~black_won]), 1)
+        if return_details:
+            return wins, {
+                "winner": winner, "black_idx": bi, "white_idx": wi,
+            }
         return wins

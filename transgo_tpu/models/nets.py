@@ -316,12 +316,21 @@ class TransGoNetwork:
             self.size = config.board_size
         else:
             raise ValueError(kind)
-        self.channels = config.encode_state_channels
+        # input_dim is the post-init alias of encode_state_channels
+        # (reference configure.py:36 keeps both; __post_init__ ties them)
+        self.channels = config.input_dim
+        self.param_dtype = jnp.dtype(config.param_dtype)
         self.kind = kind
 
     def init(self, key):
         dummy = jnp.zeros((1, self.size, self.size, self.channels), jnp.float32)
         variables = self.module.init(key, dummy, train=False)
+        if self.param_dtype != jnp.float32:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(self.param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                variables,
+            )
         return variables  # {'params': ..., 'batch_stats': ...}
 
     def apply(self, variables, obs, train: bool = False):

@@ -52,7 +52,14 @@ def build_reference_so(size: int, force: bool = False) -> Path:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     cmd = ["g++", *map(str, srcs), "-std=gnu++11", "-shared", "-fPIC",
            "-o", str(so)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        # surface the compiler diagnostics — a bare CalledProcessError
+        # with captured (discarded) stderr is undebuggable (ADVICE r2)
+        raise RuntimeError(
+            f"reference .so build failed (rc={r.returncode}):\n"
+            f"{' '.join(cmd)}\n{r.stderr}"
+        )
     return so
 
 

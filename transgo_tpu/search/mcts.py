@@ -906,7 +906,18 @@ class MCTS:
         old_root_states = gather_nodes(tree, tree.root)
         stepped, done = self.engine.step(old_root_states, action)
 
-        new_tree = promote_subtree(tree, action)
+        if self.config.tree_reuse:
+            new_tree = promote_subtree(tree, action)
+        else:
+            # tree_reuse=False: discard the searched tree — every move
+            # starts from a fresh root. Marking all boards empty routes
+            # them through the existing fresh-root path below (slots >= 1
+            # hold unreachable stale data, same invariant that path
+            # already relies on).
+            new_tree = tree.replace(
+                node_count=jnp.zeros((b,), jnp.int32),
+                root=jnp.zeros((b,), jnp.int32),
+            )
         empty = new_tree.node_count == 0
         # allocate slot 0 for boards with no inherited subtree
         new_tree = new_tree.replace(
