@@ -144,6 +144,30 @@ class TestLabelConvergence:
             assert np.array_equal(lbl[b], _numpy_labels(stones[b], size))
 
 
+class TestLabelVsDense:
+    """The production label path must agree field-for-field with the dense
+    repeated-squaring formulation (kept in-repo as the differential
+    oracle, ops/groups.py)."""
+
+    @pytest.mark.parametrize("size", [5, 9, 19])
+    def test_group_stats_agree(self, size):
+        from transgo_tpu.ops.groups import group_stats_dense
+
+        rng = np.random.default_rng(size)
+        stones = rng.choice(
+            [0, 1, 2], size=(4, size * size), p=[0.4, 0.3, 0.3]
+        ).astype(np.int8)
+        spec = board_spec(size)
+        a = group_stats(spec, jnp.asarray(stones))
+        b = group_stats_dense(spec, jnp.asarray(stones))
+        for name in ("labels", "libs_by_root", "size_by_root",
+                     "stone_libs", "stone_size"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                err_msg=f"{name} mismatch at {size}x{size}",
+            )
+
+
 class TestStep:
     def test_single_capture(self):
         eng = GoEngine(5, komi=0.0, max_step=60)

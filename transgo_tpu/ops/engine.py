@@ -334,25 +334,42 @@ class GoEngine:
         stones = state.stones
         is_empty = stones == EMPTY
 
-        # empty-region reachability on the MXU, then one more matmul to see
-        # which stone colors the region touches
-        from transgo_tpu.ops.groups import reachability
-
-        linked = (
-            is_empty[:, :, None] & is_empty[:, None, :] & (spec.ADJ[None] > 0)
+        # empty-region flood by min-label propagation, then ONE one-hot MXU
+        # segment sum to see which stone colors each region touches — no
+        # [B, n, n] tensor at any board size (the dense formulation burned
+        # ~19 GB of HBM traffic per 4096-board analyze at 19x19)
+        from transgo_tpu.ops.groups import (
+            _pad1,
+            propagate_group_values,
+            propagate_min_labels,
+            segment_sum_by_label,
         )
-        reach = reachability(spec, linked)                # [B, n, n]
-        reach = reach & is_empty[:, :, None]
-        # boolean operands accumulate exactly in f32 at any board size
-        # (ops/groups.reachability docstring), so bf16 inputs are safe
-        mm_dtype = jnp.bfloat16
-        m = jnp.matmul(
-            reach.astype(mm_dtype), spec.ADJ[None].astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        )                                                 # region-adjacency
-        border = m > 0.5
-        rb = jnp.any(border & (stones == BLACK)[:, None, :], axis=2)
-        rw = jnp.any(border & (stones == WHITE)[:, None, :], axis=2)
+
+        n = spec.num_points
+        col_pad = _pad1(stones, WALL)
+        nbr_col = col_pad[:, spec.NBR]                    # [B, n, 4]
+        linked = is_empty[:, :, None] & (nbr_col == EMPTY)
+        iota = jnp.arange(n, dtype=jnp.int32)[None, :]
+        init = jnp.where(is_empty, iota, n)
+        lbl = propagate_min_labels(spec, linked, init)    # [B, n]
+
+        touch = jnp.stack(
+            [
+                jnp.any(nbr_col == BLACK, axis=2),
+                jnp.any(nbr_col == WHITE, axis=2),
+            ],
+            axis=-1,
+        ).astype(jnp.int32)                               # [B, n, 2]
+        touch = jnp.where(is_empty[:, :, None], touch, 0)
+        agg = segment_sum_by_label(lbl, touch, n)         # [B, root, 2]
+        iota_r = jnp.arange(n, dtype=jnp.int32)[None]
+        is_region_root = is_empty & (lbl == iota_r)
+        root_rows = jnp.where(
+            is_region_root[..., None], agg.astype(jnp.int32), 0
+        )
+        per = propagate_group_values(spec, linked, root_rows)
+        rb = per[..., 0] > 0
+        rw = per[..., 1] > 0
 
         empty_owner = jnp.where(
             rb & ~rw, BLACK, jnp.where(rw & ~rb, WHITE, DAME)

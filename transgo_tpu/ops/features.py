@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from transgo_tpu.ops.engine import BoardAnalysis, GoEngine
-from transgo_tpu.ops.groups import _pad1
+from transgo_tpu.ops.groups import (
+    _OPP,
+    _pad1,
+    propagate_group_values,
+    segment_sum_by_label,
+    stone_links,
+)
 from transgo_tpu.ops.state import (
     BLACK,
     EMPTY,
@@ -81,10 +87,12 @@ def live_stone_mask(
     own-colored stone or another candidate eye of the same group — except
     that a center eye may concede one diagonal (board.cc:808-809).
 
-    Uses the group-reachability matrix from the MXU connectivity pass:
-    ``cand[i, e] = true_eye[e] & group-of-i adjacent to e`` is one matmul,
-    and qualification is dense [B, n, n, 4] boolean algebra — no scatters,
-    no root indirection.
+    Label-based formulation (no [B, n, n] tensors): every true eye ``e``
+    carries up to 4 *slots*, one per adjacent own group (deduplicated by
+    group label), each slot is qualified independently, and the per-group
+    qualified-eye count folds through one one-hot MXU segment sum over the
+    4n slots. Peak intermediate is O(B n) — the same label machinery the
+    engine's group analysis runs on (ops/groups.py).
     """
     n = spec.num_points
     b = stones.shape[0]
@@ -92,32 +100,71 @@ def live_stone_mask(
     te = true_eye_mask(spec, stones, color)             # [B, n]
     own = stones == color
 
-    # cand[b, i, e]: e is a true eye of `color` adjacent to i's group
-    mm_dtype = jnp.bfloat16  # boolean operands: exact at any n (ops/groups)
-    m = jnp.matmul(
-        g.reach.astype(mm_dtype), spec.ADJ[None].astype(mm_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    cand = (m > 0.5) & te[:, None, :] & own[:, :, None]  # [B, i, e]
+    lbl_pad = _pad1(g.labels, jnp.int32(-1))
+    own_pad = _pad1(own, False)
+    te_pad = _pad1(te, False)
 
-    # qualify each candidate eye e of i's group
-    own_at_diag = (_pad1(own, False))[:, spec.DIAG]     # [B, e, 4]
-    cand_pad = jnp.concatenate(
-        [cand, jnp.zeros((b, n, 1), bool)], axis=2
-    )                                                    # [B, i, n+1]
-    cand_at_diag = cand_pad[:, :, spec.DIAG]            # [B, i, e, 4]
+    # slot s of eye e: the own group adjacent through direction s
+    nbr_lbl = lbl_pad[:, spec.NBR]                      # [B, e, 4]
+    nbr_own = own_pad[:, spec.NBR]
+    slot_ok = te[:, :, None] & nbr_own
+    slot_lbl = jnp.where(slot_ok, nbr_lbl, -1)          # [B, e, 4]
+    # dedup: a group seen through several directions is one candidate
+    d1 = slot_lbl[:, :, 1] == slot_lbl[:, :, 0]
+    d2 = (slot_lbl[:, :, 2] == slot_lbl[:, :, 0]) | (
+        slot_lbl[:, :, 2] == slot_lbl[:, :, 1]
+    )
+    d3 = (
+        (slot_lbl[:, :, 3] == slot_lbl[:, :, 0])
+        | (slot_lbl[:, :, 3] == slot_lbl[:, :, 1])
+        | (slot_lbl[:, :, 3] == slot_lbl[:, :, 2])
+    )
+    dup = jnp.stack([jnp.zeros_like(d1), d1, d2, d3], axis=2)
+    slot_ok = slot_ok & ~dup
+
+    # qualify slot (e, s): every on-board diagonal f of e must be an own
+    # stone or itself a candidate eye of the same group (a center eye may
+    # concede one diagonal, board.cc:808-809). "f is a candidate eye of
+    # group r" = true_eye[f] & some neighbor of f carries label r.
+    nbr_tbl = jnp.concatenate(
+        [spec.NBR, jnp.full((1, 4), n, spec.NBR.dtype)], axis=0
+    )
+    diag_nbr = nbr_tbl[spec.DIAG]                       # [e, 4(dd), 4] static
+    diag_nbr_lbl = lbl_pad[:, diag_nbr]                 # [B, e, dd, 4]
+    diag_own = own_pad[:, spec.DIAG]                    # [B, e, 4]
+    diag_te = te_pad[:, spec.DIAG]                      # [B, e, 4]
+    adj_r = jnp.any(
+        diag_nbr_lbl[:, :, None, :, :] == slot_lbl[:, :, :, None, None],
+        axis=4,
+    )                                                   # [B, e, s, dd]
+    f_cand = diag_te[:, :, None, :] & adj_r
     territory = (
-        own_at_diag[:, None, :, :] | cand_at_diag
-    ) & spec.DIAG_OK[None, None, :, :]
-    num_terr = jnp.sum(territory, axis=3)               # [B, i, e]
-    num_boundary = jnp.sum(~spec.DIAG_OK, axis=1)[None, None, :]
+        diag_own[:, :, None, :] | f_cand
+    ) & spec.DIAG_OK[None, :, None, :]
+    num_terr = jnp.sum(territory, axis=3)               # [B, e, s]
+    num_boundary = jnp.sum(~spec.DIAG_OK, axis=1)[None, :, None]
     qualified = (
         ((num_boundary >= 1) & (num_boundary + num_terr == 4))
         | ((num_boundary == 0) & (num_terr >= 3))
-    ) & cand                                             # [B, i, e]
+    ) & slot_ok                                          # [B, e, s]
 
-    alive = (g.stone_libs >= 2) & (jnp.sum(qualified, axis=2) >= 2)
-    return own & alive
+    # credit each qualified (e, s) slot to the member stone it came
+    # through (j = NBR[e, s], the same first-direction pattern as the
+    # liberty credits in ops/groups.group_stats), fold per group with one
+    # one-hot matmul, and read back by max-propagation — gather-free
+    qual_pad = jnp.concatenate(
+        [qualified, jnp.zeros((b, 1, 4), bool)], axis=1
+    )                                                    # [B, n+1, 4]
+    credits = [qual_pad[:, spec.NBR[:, d], _OPP[d]] for d in range(4)]
+    q = sum(c.astype(jnp.int32) for c in credits)
+    q = jnp.where(own, q, 0)
+    agg = segment_sum_by_label(g.labels, q[..., None], n)  # [B, root, 1]
+    iota = jnp.arange(n, dtype=jnp.int32)[None]
+    is_root = g.labels == iota
+    root_rows = jnp.where(is_root[..., None], agg.astype(jnp.int32), 0)
+    links = stone_links(spec, stones)
+    qual_of_stone = propagate_group_values(spec, links, root_rows)[..., 0]
+    return own & (g.stone_libs >= 2) & (qual_of_stone >= 2)
 
 
 class FeatureEncoder:

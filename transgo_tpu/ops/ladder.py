@@ -97,8 +97,11 @@ class LadderReader:
         b, n = stones.shape
         bar = jnp.arange(b)
         g = group_stats(spec, stones)
-        member = g.reach[bar, anchor] & (
-            stones == victim[:, None]
+        anchor_lbl = g.labels[bar, anchor]                  # [B]
+        member = (
+            (g.labels == anchor_lbl[:, None])
+            & (anchor_lbl >= 0)[:, None]
+            & (stones == victim[:, None])
         )                                                   # [B, n]
         mm_dtype = jnp.bfloat16  # boolean operands: exact at any n (ops/groups)
         adj = (
@@ -161,11 +164,14 @@ class LadderReader:
         nlib = _pad1(g.stone_libs, jnp.int32(0))[bar[:, None], nbr]
         self_lib = jnp.sum(col == EMPTY, axis=1)
 
-        # distinct-block dedup via the reachability matrix: same[i, j] iff
-        # neighbor i and neighbor j sit in one group
+        # distinct-block dedup via group labels: same[i, j] iff neighbor i
+        # and neighbor j sit in one group (both stones => labels >= 0)
         safe_nbr = jnp.clip(nbr, 0, n - 1)
-        same = g.reach[bar[:, None, None], safe_nbr[:, :, None],
-                       safe_nbr[:, None, :]]                # [B, 4, 4]
+        nbr_grp = g.labels[bar[:, None], safe_nbr]          # [B, 4]
+        same = (
+            (nbr_grp[:, :, None] == nbr_grp[:, None, :])
+            & (nbr_grp >= 0)[:, :, None]
+        )                                                   # [B, 4, 4]
         tri = jnp.tril(jnp.ones((4, 4), bool), -1)[None]    # j < i
 
         def distinct(matches):

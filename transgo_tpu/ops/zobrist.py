@@ -12,10 +12,10 @@ is computed for the whole board at once:
   h'(c) = h ^ Z[c, mover] ^ XOR{group-hash(g) : g enemy, in atari,
                                  adjacent to c}
 
-where group hashes are XOR-reduced straight off the reachability matrix the
-engine already computes — an atari group adjacent to an empty c necessarily
-has its single liberty at c, so adjacency + liberties==1 identifies exactly
-the stones a play at c would capture. A candidate is forbidden iff h'(c)
+where group hashes are XOR-reduced per group label via bit-plane popcount
+parity (one one-hot MXU segment sum) — an atari group adjacent to an empty
+c necessarily has its single liberty at c, so adjacency + liberties==1
+identifies exactly the stones a play at c would capture. A candidate is forbidden iff h'(c)
 matches any hash in the game's position history.
 """
 
@@ -29,8 +29,13 @@ from flax import struct
 from jax import lax
 
 from transgo_tpu.ops.engine import BoardAnalysis, GoEngine
-from transgo_tpu.ops.groups import _pad1
-from transgo_tpu.ops.state import BoardSpec, GoState, opponent
+from transgo_tpu.ops.groups import (
+    _pad1,
+    label_onehot,
+    root_read,
+    segment_sum_by_label,
+)
+from transgo_tpu.ops.state import EMPTY, BoardSpec, GoState, opponent
 
 _N_HASHES = 2
 
@@ -106,12 +111,26 @@ def superko_forbidden(engine: GoEngine, state: GoState,
     player = state.next_player.astype(jnp.int32)
     opp = opponent(player)
 
-    # per-stone group hash: XOR of member codes, read off reachability
+    # per-stone group hash: XOR of member codes. XOR = per-bit popcount
+    # parity, and the popcounts of all 64 bit planes fold in ONE one-hot
+    # MXU segment sum by group label (boolean operands accumulate exactly
+    # in f32; counts <= n <= 361) — no [B, n, n] reachability tensor.
+    is_stone = state.stones > EMPTY
     codes = z[jnp.arange(n)[None, :], state.stones.astype(jnp.int32)]
-    masked = jnp.where(
-        g.reach[..., None], codes[:, None, :, :], jnp.uint32(0)
-    )                                                    # [B, i, j, 2]
-    gxor = _xor_reduce(masked, axis=2)                   # [B, i, 2]
+    bitpos = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((codes[..., None] >> bitpos) & jnp.uint32(1)).astype(jnp.int32)
+    bits = bits.reshape(b, n, _N_HASHES * 32)
+    bits = jnp.where(is_stone[:, :, None], bits, 0)
+    onehot = label_onehot(g.labels, n, valid=is_stone)
+    agg = segment_sum_by_label(g.labels, bits, n, onehot=onehot)
+    par = (agg.astype(jnp.int32) & 1)                    # [B, root, 64]
+    # members read their group's 64 parity bits back through the same
+    # one-hot (gather-free), then the bits recombine to two uint32 words
+    stone_par = root_read(onehot, par).astype(jnp.uint32)
+    stone_par = stone_par.reshape(b, n, _N_HASHES, 32)
+    gxor = jnp.sum(
+        stone_par << bitpos[None, None, None, :], axis=3, dtype=jnp.uint32
+    )                                                    # [B, i, 2]
 
     # stones a play at empty c would capture: enemy groups in atari
     # adjacent to c (their single liberty is necessarily c)
