@@ -339,26 +339,35 @@ class GoEngine:
         # [B, n, n] tensor at any board size (the dense formulation burned
         # ~19 GB of HBM traffic per 4096-board analyze at 19x19)
         from transgo_tpu.ops.groups import (
-            _pad1,
+            _DELTAS,
+            _shift2d,
             propagate_group_values,
             propagate_min_labels,
             segment_sum_by_label,
         )
 
         n = spec.num_points
-        col_pad = _pad1(stones, WALL)
-        nbr_col = col_pad[:, spec.NBR]                    # [B, n, 4]
-        linked = is_empty[:, :, None] & (nbr_col == EMPTY)
+        b = stones.shape[0]
+        h = w = spec.size
+        sg = stones.reshape(b, h, w)
+        is_empty_g = is_empty.reshape(b, h, w)
+        # neighbor color planes as grid shifts (no gather HLO)
+        nbr_col4 = [_shift2d(sg, dx, dy, WALL) for dx, dy in _DELTAS]
+        linked = jnp.stack(
+            [is_empty_g & (c == EMPTY) for c in nbr_col4], axis=-1
+        ).reshape(b, n, 4)
         iota = jnp.arange(n, dtype=jnp.int32)[None, :]
         init = jnp.where(is_empty, iota, n)
         lbl = propagate_min_labels(spec, linked, init)    # [B, n]
 
+        def _touch(color):
+            t = nbr_col4[0] == color
+            for c in nbr_col4[1:]:
+                t = t | (c == color)
+            return t.reshape(b, n)
+
         touch = jnp.stack(
-            [
-                jnp.any(nbr_col == BLACK, axis=2),
-                jnp.any(nbr_col == WHITE, axis=2),
-            ],
-            axis=-1,
+            [_touch(BLACK), _touch(WHITE)], axis=-1
         ).astype(jnp.int32)                               # [B, n, 2]
         touch = jnp.where(is_empty[:, :, None], touch, 0)
         agg = segment_sum_by_label(lbl, touch, n)         # [B, root, 2]

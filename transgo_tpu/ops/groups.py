@@ -287,30 +287,33 @@ def group_stats(spec: BoardSpec, stones: jnp.ndarray,
     is_stone = stones > EMPTY
     is_empty = stones == EMPTY
 
-    lbl_pad = _pad1(lbl, jnp.int32(n))
-    nbr_lbl = lbl_pad[:, spec.NBR]                        # [B, n(e), 4]
-    # first[e, d]: direction d is the first occurrence of its (stone)
-    # label among e's neighbor directions
-    stone_nbr = nbr_lbl < n
-    dup_cols = [jnp.zeros_like(stone_nbr[:, :, 0])]
-    for d in range(1, 4):
-        dup_cols.append(jnp.any(jnp.stack(
-            [nbr_lbl[:, :, d] == nbr_lbl[:, :, d2] for d2 in range(d)],
-            axis=-1,
-        ), axis=-1))
-    dup = jnp.stack(dup_cols, axis=-1)
-    first = stone_nbr & ~dup & is_empty[:, :, None]       # [B, n(e), 4]
+    # all neighbor reads as grid shifts ([B, H, W] planes, no gather HLO)
+    h = w = spec.size
+    b = stones.shape[0]
+    lbl_g = lbl.reshape(b, h, w)
+    is_empty_g = is_empty.reshape(b, h, w)
+    is_stone_g = is_stone.reshape(b, h, w)
 
-    # credit each kept (e, d) to the stone j = NBR[e, d]: from j's side,
-    # e = NBR[j, d'] and the crediting direction is OPP[d']
-    first_pad = jnp.concatenate(
-        [first, jnp.zeros(first.shape[:1] + (1, 4), bool)], axis=1
-    )                                                     # [B, n+1, 4]
-    credits = [
-        first_pad[:, spec.NBR[:, d], _OPP[d]] for d in range(4)
-    ]                                                     # 4 x [B, n(j)]
-    p_lib = sum(c.astype(jnp.int32) for c in credits)     # [B, n(j)]
-    p_lib = jnp.where(is_stone, p_lib, 0)
+    # first[d][e]: direction d is the first occurrence of its (stone)
+    # label among empty point e's neighbor directions — the distinct-
+    # liberty dedup (labels at empty/off-board read the sentinel n, which
+    # the stone_nbr test filters)
+    nbr_lbl4 = [_shift2d(lbl_g, dx, dy, n) for dx, dy in _DELTAS]
+    stone_nbr4 = [x < n for x in nbr_lbl4]
+    first4 = [stone_nbr4[0] & is_empty_g]
+    for d in range(1, 4):
+        dup = nbr_lbl4[d] == nbr_lbl4[0]
+        for d2 in range(1, d):
+            dup = dup | (nbr_lbl4[d] == nbr_lbl4[d2])
+        first4.append(stone_nbr4[d] & ~dup & is_empty_g)
+
+    # credit each kept (e, d) to the stone j = e + delta_d it came
+    # through: from j's side that is first[d] read at j - delta_d
+    p_lib_g = sum(
+        _shift2d(first4[d], -dx, -dy, False).astype(jnp.int32)
+        for d, (dx, dy) in enumerate(_DELTAS)
+    )
+    p_lib = jnp.where(is_stone_g, p_lib_g, 0).reshape(b, n)
 
     # per-group totals [size, libs] in ONE matmul; members then read them
     # back by max-propagating the root rows over the same edges — no
