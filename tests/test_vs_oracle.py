@@ -39,6 +39,16 @@ def jitted(size):
 
 @pytest.mark.parametrize("size,seed", [(5, 0), (5, 1), (9, 2), (7, 4), (13, 6)])
 def test_random_playout_parity(size, seed):
+    _run_random_playout_parity(size, seed)
+
+
+def test_random_playout_parity_19x19():
+    """Full-board differential at 19x19 (the label-propagation production
+    path's largest size; VERDICT r2 item 5 done-criterion)."""
+    _run_random_playout_parity(19, 8)
+
+
+def _run_random_playout_parity(size, seed):
     eng, step, snapshot, max_step, komi = jitted(size)
     oracle = Oracle(size, komi=komi, max_step=max_step)
     oracle.reset()

@@ -93,7 +93,13 @@ class Config:
 
     # ---------- evaluation / gating (reference configure.py:45-46) ----------
     init_evaluate_score: int = 100
-    evaluate_num: int = 1500           # driver ticks between arena evals
+    # Ticks between arena gates. NOTE a semantic shift vs the reference
+    # (configure.py:46): its driver ticked at 1 Hz, so 1500 ≈ 25 min of
+    # wall time; here a tick is one run_tick — a fused CHUNK of
+    # ~selfplay_chunk_ticks search rounds in continuous mode — so 1500
+    # chunks ≈ 40 min at the production 9x9 config. Cadence is by work
+    # done, not wall time, which keeps gating deterministic under resume.
+    evaluate_num: int = 1500
     evaluate_games: int = 10           # arena games per eval (self_play.py:987)
 
     # ---------- resume (reference configure.py:50-60) ----------
