@@ -117,6 +117,11 @@ def cmd_elo(args):
         wins = PoolArena(cfg, mcts, net).round_robin(
             pool, args.games, key
         )
+    if args.prior > 0:
+        # Davidson-style regularization: a virtual split pairing both ways
+        # keeps the MLE finite when one side sweeps
+        played = (wins + wins.T) > 0
+        wins = wins + args.prior * played
     elo = rate_pool(wins)
     for p, e in zip(args.checkpoints, elo):
         print(f"{p}: {e:+.1f}")
@@ -229,6 +234,10 @@ def main(argv=None):
     e.add_argument("--pairwise", action="store_true",
                    help="sequential per-pairing matches (reference "
                    "elo.py:96-109) instead of the one-batch pool arena")
+    e.add_argument("--prior", type=float, default=0.0,
+                   help="virtual wins added to every pairing both ways; "
+                   "0 = the reference's raw MLE (diverges on sweeps), "
+                   "~0.25 keeps ladder ratings finite on sparse samples")
 
     m = sub.add_parser("smoke")
     m.add_argument("--games", type=int, default=10)
