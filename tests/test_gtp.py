@@ -172,3 +172,66 @@ def test_komi_command_retraces_search():
     select_now = eng._select
     _cmd(eng, "komi 7.5")
     assert eng._select is select_now
+
+
+def _engine():
+    cfg = small_test_config(
+        board_size=5, max_step=20, num_simulation=4, parallel_readouts=2,
+        num_features=8,
+    )
+    return GTPEngine(cfg)
+
+
+class TestSGF:
+    def test_roundtrip_encode_parse(self):
+        from transgo_tpu.ops.state import BLACK, WHITE
+        from transgo_tpu.ui.sgf import moves_to_sgf, parse_sgf
+
+        moves = [(BLACK, 40), (WHITE, 41), (BLACK, 81), (WHITE, 0)]
+        text = moves_to_sgf(9, 7.5, moves, result="B+3.5")
+        size, komi, parsed = parse_sgf(text)
+        assert size == 9 and komi == 7.5
+        assert parsed == moves
+        assert "RE[B+3.5]" in text
+
+    def test_parse_skips_variations(self):
+        from transgo_tpu.ops.state import BLACK, WHITE
+        from transgo_tpu.ui.sgf import parse_sgf
+
+        text = "(;FF[4]SZ[9]KM[5.5];B[aa](;W[bb];B[cc])(;W[dd]))"
+        size, komi, moves = parse_sgf(text)
+        assert size == 9 and komi == 5.5
+        assert moves == [(BLACK, 0)]
+
+    def test_gtp_printsgf_and_loadsgf(self, tmp_path):
+        eng = _engine()
+        for cmd in ("play black E5", "play white D4", "play black pass"):
+            out, err, _ = eng.handle(cmd)
+            assert not err, out
+        out, err, _ = eng.handle("printsgf")
+        assert not err
+        sgf = out[1:].strip()
+        assert sgf.startswith("(;FF[4]") and ";B[" in sgf and ";W[" in sgf
+
+        p = tmp_path / "game.sgf"
+        p.write_text(sgf)
+        before = eng.cmd_showboard()
+        eng2 = _engine()
+        out, err, _ = eng2.handle(f"loadsgf {p}")
+        assert not err, out
+        assert eng2.cmd_showboard() == before
+        # partial load: only the first move
+        out, err, _ = eng2.handle(f"loadsgf {p} 1")
+        assert not err
+        assert eng2.cmd_showboard().count("X") >= 1
+
+    def test_undo_keeps_record_in_sync(self):
+        eng = _engine()
+        eng.handle("play black E5")
+        # out-of-turn second black move injects a white pass in one group
+        eng.handle("play black D4")
+        assert [m for g in eng.move_groups for m in g][-2][1] == \
+            eng.engine.spec.num_points  # injected pass recorded
+        eng.handle("undo")
+        moves = [m for g in eng.move_groups for m in g]
+        assert len(moves) == 1  # the whole group (pass + move) undone

@@ -8,7 +8,8 @@ model, and the same interface scripts engine-vs-engine matches.
 
 Supported commands: protocol_version, name, version, list_commands,
 known_command, boardsize, clear_board, komi, play, genmove, showboard,
-final_score, undo, quit.
+final_score, undo, printsgf, loadsgf, quit (SGF records via ui/sgf.py —
+a capability the reference GUI lacks entirely).
 
 Run:  python -m transgo_tpu.ui.gtp --checkpoint <orbax-dir>
 """
@@ -66,6 +67,10 @@ class GTPEngine:
     def clear_board(self):
         self.state = self.engine.init(1)
         self.history = [self.state]
+        # move groups aligned with history entries (a play that injects a
+        # pass for the other side records both in one group, so undo stays
+        # in sync); flattened by printsgf
+        self.move_groups: List[List] = [[]]
 
     # ---- coordinates -------------------------------------------------
     def vertex_to_action(self, vertex: str) -> int:
@@ -98,35 +103,49 @@ class GTPEngine:
         return f"{GTP_COLS[x]}{size - row}"
 
     # ---- commands ----------------------------------------------------
-    def cmd_play(self, color: str, vertex: str) -> str:
-        action = self.vertex_to_action(vertex)
-        want = BLACK if color.lower().startswith("b") else WHITE
+    def _apply(self, want: int, action: int) -> List:
+        """Step a move for color ``want``, injecting a pass if it is not
+        the mover (GTP allows out-of-turn setup; the engine strictly
+        alternates). Returns the (color, action) records applied."""
+        group = []
         player = int(self.state.next_player[0])
         if player != want:
-            # GTP allows out-of-turn setup; our engine is strictly
-            # alternating — inject a pass for the other side
             self.state, _ = self.engine.step(
                 self.state, jnp.array([self.engine.spec.num_points])
             )
+            group.append((player, self.engine.spec.num_points))
         if action >= 0 and not bool(
             self.engine.legal_action_mask_full(self.state)[0, action]
         ):
             raise ValueError("illegal move")
         self.state, _ = self.engine.step(self.state, jnp.array([action]))
+        group.append((want, action))
+        return group
+
+    def cmd_play(self, color: str, vertex: str) -> str:
+        action = self.vertex_to_action(vertex)
+        want = BLACK if color.lower().startswith("b") else WHITE
+        group = self._apply(want, action)
         self.history.append(self.state)
+        self.move_groups.append(group)
         return ""
 
     def cmd_genmove(self, color: str) -> str:
         want = BLACK if color.lower().startswith("b") else WHITE
+        group = []
         if int(self.state.next_player[0]) != want:
             # out-of-turn request: inject a pass for the side to move
+            other = int(self.state.next_player[0])
             self.state, _ = self.engine.step(
                 self.state, jnp.array([self.engine.spec.num_points])
             )
+            group.append((other, self.engine.spec.num_points))
         self.key, k = jax.random.split(self.key)
         action = int(self._select(self.state, k)[0])
         self.state, _ = self.engine.step(self.state, jnp.array([action]))
+        group.append((want, action))
         self.history.append(self.state)
+        self.move_groups.append(group)
         return self.action_to_vertex(action)
 
     def cmd_showboard(self) -> str:
@@ -149,13 +168,48 @@ class GTPEngine:
         if len(self.history) < 2:
             raise ValueError("nothing to undo")
         self.history.pop()
+        self.move_groups.pop()
         self.state = self.history[-1]
+        return ""
+
+    def cmd_printsgf(self) -> str:
+        from transgo_tpu.ui.sgf import moves_to_sgf
+
+        moves = [m for g in self.move_groups for m in g]
+        result = None
+        if bool(self.state.terminated[0]):
+            result = self.cmd_final_score()
+        return moves_to_sgf(
+            self.engine.spec.size, self.engine.komi, moves, result
+        )
+
+    def cmd_loadsgf(self, path: str, move_number: int = 0) -> str:
+        from transgo_tpu.ui.sgf import parse_sgf
+
+        with open(path) as f:
+            size, komi, moves = parse_sgf(f.read())
+        if size != self.engine.spec.size:
+            raise ValueError(
+                f"unacceptable size (engine is {self.engine.spec.size})"
+            )
+        if komi != self.engine.komi:
+            self.engine.komi = komi
+            self.config.komi = komi
+            self._rebuild_select()
+        self.clear_board()
+        if move_number > 0:
+            moves = moves[:move_number]
+        for color, action in moves:
+            group = self._apply(color, action)
+            self.history.append(self.state)
+            self.move_groups.append(group)
         return ""
 
     COMMANDS = [
         "protocol_version", "name", "version", "list_commands",
         "known_command", "boardsize", "clear_board", "komi", "play",
-        "genmove", "showboard", "final_score", "undo", "quit",
+        "genmove", "showboard", "final_score", "undo", "printsgf",
+        "loadsgf", "quit",
     ]
 
     def handle(self, line: str):
@@ -205,6 +259,12 @@ class GTPEngine:
                 resp = self.cmd_final_score()
             elif cmd == "undo":
                 resp = self.cmd_undo()
+            elif cmd == "printsgf":
+                resp = self.cmd_printsgf()
+            elif cmd == "loadsgf":
+                resp = self.cmd_loadsgf(
+                    args[0], int(args[1]) if len(args) > 1 else 0
+                )
             elif cmd == "quit":
                 return f"={ident} \n\n", False, True
             else:
