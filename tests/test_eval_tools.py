@@ -96,3 +96,16 @@ def test_strength_cli_gate(tmp_path):
             "--min-vs-random", "1.1",  # unreachable -> deterministic FAIL
         ])
     assert exc.value.code == 1
+
+
+def test_sweep_prior_keeps_ratings_finite():
+    """A sweep sends raw MLE ratings to the iteration cap; the CLI's
+    --prior virtual split keeps them finite and ordered."""
+    import numpy as np
+
+    wins = np.array([[0.0, 4.0], [0.0, 0.0]])  # agent 0 sweeps 4-0
+    raw = rate_pool(wins)
+    assert raw[1] < -2000  # divergent without regularization
+    played = (wins + wins.T) > 0
+    reg = rate_pool(wins + 0.25 * played)
+    assert -1000 < reg[1] < 0  # finite, still clearly weaker

@@ -240,3 +240,80 @@ def test_no_depth_cap_with_roomy_bound():
         tree, jax.random.PRNGKey(0)
     )
     assert (np.asarray(tree.depth_capped) == 0).all()
+
+
+def _inject_root(mcts, eval_fn, states):
+    """Fresh tree with ``states`` installed and re-expanded as the root."""
+    b = states.stones.shape[0]
+    tree = mcts.reset_root(mcts.new_tree(b), eval_fn)
+    tree = tree.replace(
+        states=jax.tree_util.tree_map(
+            lambda x, s: x.at[:, 0].set(s), tree.states, states
+        )
+    )
+    tree = tree.replace(expanded=tree.expanded.at[:, 0].set(False))
+    return mcts._expand_roots(tree, eval_fn, jnp.ones((b,), bool))
+
+
+class TestTerminalHorizonTactics:
+    """Search quality against exact terminal scores: near max_step the
+    game tree bottoms out inside the search horizon, so with a NEUTRAL
+    eval (uniform prior, zero value) the visit distribution must be
+    driven purely by Tromp-Taylor outcomes — no eval-function crutch."""
+
+    def _mcts(self, sims=128):
+        cfg = small_test_config(num_simulation=sims)
+        eng = GoEngine(5, komi=0.0, max_step=30)
+        mcts = MCTS(cfg, eng, SearchMode.WP)
+        A = eng.spec.num_actions
+
+        def neutral(obs, to_play):
+            b = obs.shape[0]
+            return jnp.full((b, A), 1.0 / A), jnp.zeros((b,))
+
+        return eng, mcts, neutral
+
+    def test_capture_flips_the_game(self):
+        # W {0,1} in atari at 2; W also owns {23,24}. Three plies left.
+        # No-capture lines end W+1; capturing at 2 ends B+3.
+        eng, mcts, neutral = self._mcts()
+        stones = np.zeros((2, 25), np.int8)
+        for c in (0, 1, 23, 24):
+            stones[:, c] = WHITE
+        for c in (5, 6):
+            stones[:, c] = BLACK
+        states = eng.init(2).replace(
+            stones=jnp.asarray(stones),
+            next_player=jnp.full((2,), BLACK, jnp.int8),
+            step_count=jnp.full((2,), 28, jnp.int32),
+        )
+        tree = _inject_root(mcts, neutral, states)
+        tree = jax.jit(lambda t, k: mcts.search(t, neutral, k))(
+            tree, jax.random.PRNGKey(5)
+        )
+        counts, _ = mcts.action_statistics(tree)
+        best = np.asarray(counts).argmax(axis=1)
+        assert (best == 2).all(), f"expected capture at 2, got {best}"
+
+    def test_prefers_bigger_capture(self):
+        # One ply left. Capturing the 2-stone group at 22 wins (B+2);
+        # the 1-stone capture at 3 only ties (= loss); anything else
+        # loses W+2.
+        eng, mcts, neutral = self._mcts()
+        stones = np.zeros((2, 25), np.int8)
+        for c in (4, 20, 21, 10, 11, 12):
+            stones[:, c] = WHITE
+        for c in (9, 15, 16):
+            stones[:, c] = BLACK
+        states = eng.init(2).replace(
+            stones=jnp.asarray(stones),
+            next_player=jnp.full((2,), BLACK, jnp.int8),
+            step_count=jnp.full((2,), 30, jnp.int32),
+        )
+        tree = _inject_root(mcts, neutral, states)
+        tree = jax.jit(lambda t, k: mcts.search(t, neutral, k))(
+            tree, jax.random.PRNGKey(6)
+        )
+        counts, _ = mcts.action_statistics(tree)
+        best = np.asarray(counts).argmax(axis=1)
+        assert (best == 22).all(), f"expected the 2-stone capture, got {best}"
