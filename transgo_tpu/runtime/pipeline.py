@@ -482,6 +482,10 @@ class TrainPipeline:
         if pending is not None:
             self._consume_stats(pending)
         self.tick += 1
+        if gamma is not None and metrics:
+            # surface the transfer blend while the window is active so the
+            # curriculum's influence is visible in metrics.jsonl
+            metrics = dict(metrics, transfer_gamma=gamma)
         return metrics
 
     def run_tick(self):
