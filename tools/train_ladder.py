@@ -38,6 +38,11 @@ def main():
                     "-> transfer-assisted 9x9, configure.py:52/82-86)")
     ap.add_argument("--sub-model", default=None,
                     help="existing 7x7 sub_policy dir (skips --pretrain)")
+    ap.add_argument("--evaluate-num", type=int, default=1500,
+                    help="gate-arena cadence in ticks (reference "
+                    "configure.py:46 uses 1500 driver ticks; lower it for "
+                    "short runs so the +100-and-freeze gate dynamics are "
+                    "exercised more than once)")
     args = ap.parse_args()
 
     from transgo_tpu.config import Config
@@ -75,8 +80,8 @@ def main():
         results_path=args.results,
         seed=args.seed,
         init_sub_model=sub_model,
-        # arena gate every ~1500 ticks as the reference (configure.py:46)
-        evaluate_num=1500,
+        # arena gate cadence (reference: 1500 driver ticks, configure.py:46)
+        evaluate_num=args.evaluate_num,
     )
     pipe = TrainPipeline(cfg)
     ckpt = os.path.join(os.path.abspath(args.results), "resume_ckpt")
