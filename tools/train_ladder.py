@@ -98,7 +98,12 @@ def main():
             break
         pipe.train(max_seconds=budget, log_every=100)
         pipe.flush_pending()
-        name = f"ladder_g{pipe.now_play_games:06d}"
+        # games alone can collide: continuous-mode boards start in sync, so
+        # completions arrive in waves and several snapshots can land on the
+        # same games count (observed: 3 snaps all at g000256, silently
+        # overwriting rungs). Suffix train steps to keep every rung.
+        name = (f"ladder_g{pipe.now_play_games:06d}"
+                f"_t{pipe.now_train_steps:07d}")
         pipe._save_policy(pipe.learner.variables(pipe.train_state), name)
         pipe.save_checkpoint(ckpt)
         snap_i += 1
