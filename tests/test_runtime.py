@@ -326,6 +326,9 @@ class TestRunChunk:
             board_size=5, max_step=6, num_simulation=4, selfplay_batch=4,
             num_features=8, continuous_selfplay=True,
             selfplay_chunk_ticks=4, append_budget=1,
+            # this test NEEDS the synchronized first-generation wave that
+            # stagger_init exists to prevent
+            stagger_init=False,
         )
         eng = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
         net = build_network(cfg, "main")
@@ -583,3 +586,116 @@ def test_resume_telemetry_monotone(tmp_path):
         assert r["play_steps_per_s"] < 1e6
     # cum_seconds continues from the first segment rather than resetting
     assert rows[-1]["cum_seconds"] > 0
+
+
+def test_lr_index_found_by_label_not_position():
+    """_set_lr locates the inject_hyperparams stage by its hyperparams dict
+    (VERDICT r3 weak #5: a hard-coded opt_state[2] silently broke if the
+    optax.chain was ever reordered)."""
+    import optax
+
+    from transgo_tpu.runtime.learner import _find_lr_index
+
+    cfg = small_test_config(board_size=5, num_features=8)
+    net = build_network(cfg, "main")
+    learner = Learner(cfg, net)
+    assert learner._lr_index == 2  # current chain layout
+
+    # a reordered/extended chain still resolves to the right stage
+    tx = optax.chain(
+        optax.inject_hyperparams(
+            lambda learning_rate: optax.scale(-learning_rate)
+        )(learning_rate=1e-3),
+        optax.add_decayed_weights(1e-4),
+    )
+    assert _find_lr_index(tx.init(jnp.zeros(()))) == 0
+    tx2 = optax.chain(optax.add_decayed_weights(1e-4), optax.scale(1.0))
+    with pytest.raises(ValueError):
+        _find_lr_index(tx2.init(jnp.zeros(())))
+
+    # end-to-end: injection actually lands (lr=0 -> params frozen)
+    v = net.init(jax.random.PRNGKey(0))
+    state = learner.init_state(v)
+    rng = np.random.default_rng(0)
+    pi = rng.random((4, 26)).astype(np.float32)
+    pi /= pi.sum(1, keepdims=True)
+    batch = (
+        jnp.asarray(rng.integers(0, 2, (4, 5, 5, 10)).astype(np.float32)),
+        jnp.asarray(pi),
+        jnp.asarray(rng.choice([-1.0, 1.0], 4).astype(np.float32)),
+        jnp.asarray(rng.choice([-1.0, 0.0, 1.0], (4, 25)).astype(np.float32)),
+    )
+    s1, _ = jax.jit(learner.train_step)(state, batch, 0.0)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s1.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+class TestStaggerInit:
+    """config.stagger_init desynchronizes the first generation (VERDICT r3
+    weak #3: all-B-boards-in-sync finishes starved the per-game LR/gate
+    controllers for ~200 ticks at B=256)."""
+
+    def _actor(self, **over):
+        from transgo_tpu.models import build_network
+        from transgo_tpu.ops import GoEngine
+        from transgo_tpu.runtime.actor import SelfPlayActor
+        from transgo_tpu.search.mcts import MCTS, SearchMode
+
+        kw = dict(
+            board_size=5, max_step=20, num_simulation=4, selfplay_batch=8,
+            num_features=8, continuous_selfplay=True,
+            selfplay_chunk_ticks=4,
+        )
+        kw.update(over)
+        cfg = small_test_config(**kw)
+        eng = GoEngine(cfg.board_size, cfg.komi, cfg.max_step)
+        net = build_network(cfg, "main")
+        variables = net.init(jax.random.PRNGKey(0))
+        mcts = MCTS(cfg, eng, SearchMode.WP)
+        return cfg, SelfPlayActor(cfg, mcts, net), variables
+
+    def test_first_generation_starts_spread(self):
+        from transgo_tpu.search.tree import gather_nodes
+
+        cfg, actor, variables = self._actor()
+        assert actor._stagger_max == cfg.max_step // 4
+        state = actor.init_state(variables, jax.random.PRNGKey(3))
+        roots = gather_nodes(state.tree, state.tree.root)
+        sc = np.asarray(roots.step_count)
+        # staggered openings: offsets within [0, max_step//4], not all equal
+        assert (sc >= 1).all() and (sc <= 1 + cfg.max_step // 4).all()
+        assert len(np.unique(sc)) > 1, sc
+        # trajectories still start at slot 0
+        assert (np.asarray(state.move_count) == 0).all()
+        # no board terminated during its random opening
+        assert not np.asarray(roots.terminated).any()
+
+    def test_off_by_default_in_lockstep(self):
+        cfg, actor, variables = self._actor(continuous_selfplay=False)
+        assert actor._stagger_max == 0
+
+    def test_finishes_spread_across_chunks(self):
+        """First-generation completions must NOT all land in one chunk."""
+        from transgo_tpu.runtime.device_replay import device_replay_init
+
+        cfg, actor, variables = self._actor()
+        dreplay = device_replay_init(
+            512, 5, cfg.encode_state_channels, 26, actor.own_dim
+        )
+        state = actor.init_state(variables, jax.random.PRNGKey(4))
+        chunk = jax.jit(actor.run_chunk)
+        chunks_with_finishes = 0
+        total = 0
+        for _ in range(30):
+            state, dreplay, stats = chunk(state, dreplay, variables)
+            g = int(np.asarray(stats["games"]))
+            chunks_with_finishes += g > 0
+            total += g
+            if total >= cfg.selfplay_batch:
+                break
+        assert total >= cfg.selfplay_batch
+        assert chunks_with_finishes >= 2, (
+            f"first generation finished in {chunks_with_finishes} chunk(s)"
+        )

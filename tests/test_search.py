@@ -285,7 +285,7 @@ class TestTerminalHorizonTactics:
         states = eng.init(2).replace(
             stones=jnp.asarray(stones),
             next_player=jnp.full((2,), BLACK, jnp.int8),
-            step_count=jnp.full((2,), 28, jnp.int32),
+            step_count=jnp.full((2,), 28, jnp.int16),
         )
         tree = _inject_root(mcts, neutral, states)
         tree = jax.jit(lambda t, k: mcts.search(t, neutral, k))(
@@ -308,7 +308,7 @@ class TestTerminalHorizonTactics:
         states = eng.init(2).replace(
             stones=jnp.asarray(stones),
             next_player=jnp.full((2,), BLACK, jnp.int8),
-            step_count=jnp.full((2,), 30, jnp.int32),
+            step_count=jnp.full((2,), 30, jnp.int16),
         )
         tree = _inject_root(mcts, neutral, states)
         tree = jax.jit(lambda t, k: mcts.search(t, neutral, k))(

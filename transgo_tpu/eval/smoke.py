@@ -36,29 +36,39 @@ class SmokeResult(NamedTuple):
 def evaluate_vs_random(config, mcts: MCTS, network, variables,
                        num_games: int, key) -> SmokeResult:
     """Model (alternating colors) vs RandomBot (evaluate2,
-    test_trans.py:60-95)."""
+    test_trans.py:60-95).
+
+    The model's search runs only on the half of the boards whose mover is
+    the model this tick (VERDICT r3 weak #8: the old version searched every
+    board every move, 2x the needed compute). All live boards share one
+    next_player in this lockstep arena — players strictly alternate and
+    terminated boards no-op — so the model half is static per tick parity:
+    boards assigned BLACK move with the model on even ticks, the WHITE half
+    on odd ticks."""
     engine = mcts.engine
     eval_fn = make_eval_fn(network, variables, komi=config.komi,
                            own_blend=config.value_own_blend,
                            tanh_norm=config.tanh_norm)
     states = engine.init(num_games)
-    model_black = (jnp.arange(num_games) % 2) == 0
+    half = (num_games + 1) // 2
+    model_black = jnp.arange(num_games) < half
 
-    @jax.jit
-    def one_move(states, key):
-        km, kr, ksel = jax.random.split(key, 3)
-        model_act = mcts.select_action(states, eval_fn, km)
-        rand_act = random_bot_actions(engine, states, kr)
-        mover_is_model = jnp.where(
-            model_black, states.next_player == BLACK,
-            states.next_player == WHITE,
-        )
-        action = jnp.where(mover_is_model, model_act, rand_act)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="model_first")
+    def one_move(states, key, model_first):
+        km, kr = jax.random.split(key)
+        sub = slice(0, half) if model_first else slice(half, num_games)
+        sub_states = jax.tree_util.tree_map(lambda x: x[sub], states)
+        model_act = mcts.select_action(sub_states, eval_fn, km)
+        action = random_bot_actions(engine, states, kr)
+        action = action.at[sub].set(model_act.astype(jnp.int32))
         return engine.step(states, action)
 
-    for _ in range(config.max_step + 2):
+    for t in range(config.max_step + 2):
         key, k = jax.random.split(key)
-        states, done = one_move(states, k)
+        # mover is BLACK on even ticks -> the model-as-BLACK half searches
+        states, done = one_move(states, k, model_first=(t % 2 == 0))
         if bool(jnp.all(done)):
             break
 

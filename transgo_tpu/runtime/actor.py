@@ -112,6 +112,18 @@ class SelfPlayActor:
             self._init_games = self.engine.init_random
         else:
             self._init_games = lambda b, key: self.engine.init(b)
+        # first-generation desync (config.stagger_init): only plain
+        # engines in continuous mode — the live-window engine already
+        # randomizes starts, and lockstep mode has no wave problem
+        self._stagger_max = (
+            self.max_moves // 4
+            if (
+                getattr(config, "stagger_init", False)
+                and self.continuous
+                and not hasattr(self.engine, "init_random")
+            )
+            else 0
+        )
 
     # ------------------------------------------------------------------
     def _eval_fn(self, variables, gamma=None):
@@ -135,14 +147,50 @@ class SelfPlayActor:
         )
 
     # ------------------------------------------------------------------
+    def _stagger_step(self, states, active, key):
+        """One uniform-random legal opening move on ``active`` boards."""
+        analysis = self.engine.analyze(states)
+        mask = self.engine.legal_action_mask(states, analysis)
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        action = jax.random.categorical(key, logits, axis=-1)
+        new_states, _ = self.engine.step(
+            states, action.astype(jnp.int32), analysis
+        )
+
+        def pick(new, old):
+            m = active.reshape(active.shape + (1,) * (old.ndim - 1))
+            return jnp.where(m, new, old)
+
+        return jax.tree_util.tree_map(pick, new_states, states)
+
+    def _stagger_games(self, states, key):
+        """Desynchronized first generation: board i opens with
+        k_i ~ U{0..max_step//4} random legal moves before its first tree is
+        built (config.stagger_init). The trajectory starts at the staggered
+        position (move_count 0), so first-generation games are shorter by
+        k_i moves and their completions spread across ~max_step//4 ticks;
+        every later generation inherits the spread because a board's next
+        game starts the tick its previous one drains."""
+        b = states.stones.shape[0]
+        koff, key = jax.random.split(key)
+        offsets = jax.random.randint(koff, (b,), 0, self._stagger_max + 1)
+        step_fn = jax.jit(self._stagger_step)
+        for i in range(self._stagger_max):
+            key, kk = jax.random.split(key)
+            states = step_fn(states, offsets > i, kk)
+        return states
+
     def init_state(self, variables, key, gamma=None) -> ActorState:
         b = self.batch
         t = self.max_moves
         key, kgames, knoise = jax.random.split(key, 3)
+        games = self._init_games(b, kgames)
+        if self._stagger_max > 0:
+            key, kstag = jax.random.split(key)
+            games = self._stagger_games(games, kstag)
         tree = self.mcts.new_tree(b)
         tree = self.mcts.reset_root(
-            tree, self._eval_fn(variables, gamma),
-            self._init_games(b, kgames),
+            tree, self._eval_fn(variables, gamma), games,
         )
         if self.continuous:
             tree = self.mcts.root_dirichlet(tree, knoise)
