@@ -74,8 +74,15 @@ def main():
     started = [r for r in rows if r["now_play_games"] > 0]
     plateau, cur = 0, 0
     for a, b in zip(started, started[1:]):
+        dt_ticks = int(b["step"] - a["step"])
+        if dt_ticks < 0:
+            # crash-resume segment boundary from a fresh process (tick
+            # restarts at 0): reset the running count instead of letting a
+            # negative delta corrupt it (ADVICE r4)
+            cur = 0
+            continue
         if b["now_play_games"] == a["now_play_games"]:
-            cur += int(b["step"] - a["step"])
+            cur += dt_ticks
             plateau = max(plateau, cur)
         else:
             cur = 0

@@ -29,18 +29,39 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def git_commit_paths(paths, message):
-    """Best-effort persistence of run artifacts into the repo (the only
-    durable storage on a recyclable VM). Never raises: a failed commit
-    must not kill the training run."""
+    """Best-effort persistence of run artifacts into the repo. Never
+    raises: a failed commit must not kill the training run.
+
+    The commit is SCOPED to ``paths`` (``git commit -- <paths>``) so
+    unrelated previously-staged changes never ride along in a rung commit,
+    and a best-effort ``git push`` follows each commit so snapshots
+    actually leave a recyclable VM when a remote exists (ADVICE r4: local
+    commits alone are not durable; without a remote the commit is still
+    the best available persistence and the push failure is non-fatal)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         subprocess.run(["git", "-C", repo, "add", "-f", *paths],
                        check=True, capture_output=True, timeout=120)
         r = subprocess.run(
-            ["git", "-C", repo, "commit", "-m", message, "--quiet"],
+            ["git", "-C", repo, "commit", "-m", message, "--quiet",
+             "--", *paths],
             capture_output=True, timeout=120,
         )
-        return r.returncode == 0
+        ok = r.returncode == 0
+        if ok:
+            has_remote = subprocess.run(
+                ["git", "-C", repo, "remote"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if has_remote.returncode == 0 and has_remote.stdout.strip():
+                p = subprocess.run(
+                    ["git", "-C", repo, "push", "--quiet"],
+                    capture_output=True, timeout=120,
+                )
+                if p.returncode != 0:  # pragma: no cover
+                    print("[ladder] git push failed (non-fatal); commit "
+                          "is local only", flush=True)
+        return ok
     except Exception as e:  # pragma: no cover
         print(f"[ladder] git commit failed (non-fatal): {e}", flush=True)
         return False

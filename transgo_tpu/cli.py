@@ -132,17 +132,26 @@ def cmd_elo(args):
 
     names = [_os.path.basename(_os.path.normpath(p))
              for p in args.checkpoints]
-    print("pairings (raw wins, before prior):")
+    print("pairings (raw wins, 95% Wilson interval):")
     for i in range(k):
         for j in range(i + 1, k):
             n = raw[i, j] + raw[j, i]
             if n == 0:
                 continue
             p_hat = raw[i, j] / n
-            se = (p_hat * (1 - p_hat) / n) ** 0.5
+            # Wilson score interval: unlike the Wald stderr it stays
+            # nonzero on sweeps (16-0 used to print +-0.00, understating
+            # uncertainty exactly where it mattered — ADVICE r4)
+            z = 1.96
+            denom = 1 + z * z / n
+            center = (p_hat + z * z / (2 * n)) / denom
+            hw = (z / denom) * (
+                (p_hat * (1 - p_hat) / n + z * z / (4 * n * n)) ** 0.5
+            )
             print(f"  {names[i]} vs {names[j]}: "
                   f"{raw[i, j]:.0f}-{raw[j, i]:.0f} "
-                  f"(p={p_hat:.2f}+-{se:.2f})")
+                  f"(p={p_hat:.2f} [{max(0.0, center - hw):.2f},"
+                  f"{min(1.0, center + hw):.2f}])")
     for p, e in zip(args.checkpoints, elo):
         print(f"{p}: {e:+.1f}")
 

@@ -163,6 +163,18 @@ class Config:
     # fused ticks per device call in continuous mode (one host sync per
     # chunk; finished games append to the device replay inside the chunk)
     selfplay_chunk_ticks: int = 16
+    # search rounds between move-boundary phases inside the fused chunk.
+    # The boundary phase (subtree promotion over [B,M,A], trajectory
+    # writes, root expansion eval, noise, drain/reset) costs ~8x a search
+    # round at the production shape (profiled r5: ~60 ms vs ~7.5 ms at
+    # B=256) while only ~B/rounds_per_move boards are ready per round;
+    # batching boundaries every k rounds amortizes that cost k-fold at the
+    # price of a board idling up to k-1 rounds after hitting its visit
+    # target (~(k-1)/2 per ~53-round move, ~3% at k=4). PER-MOVE SEARCH
+    # SEMANTICS ARE UNCHANGED: same visit target, same noise/temperature/
+    # pi/reuse rules — only the boundary-check cadence changes. Clamped to
+    # selfplay_chunk_ticks; rounds per chunk = (chunk_ticks//k)*k.
+    selfplay_boundary_every: int = 4
     # fused-chunk per-tick device-replay append budget; 0 = auto
     # (max(32, B/8)). Finished games beyond it defer to later ticks.
     append_budget: int = 0
@@ -176,6 +188,14 @@ class Config:
     # (transgo.py:92-96); lockstep sync is an artifact of the batch
     # design. Later generations inherit the spread.
     stagger_init: bool = True
+    # checkpoint ring persistence: the device replay ring is read back to
+    # host in bounded slices (ring_save_slice_mb each) under one wall-clock
+    # budget (ring_save_timeout seconds); if the budget runs out or a
+    # transfer wedges, the save DEGRADES to params+opt_state+counters only
+    # instead of hanging the run (the r4 flagship run's final save wedged
+    # on a single ~2 GB readback through the device tunnel)
+    ring_save_slice_mb: int = 64
+    ring_save_timeout: float = 300.0
     max_nodes: int = 0                 # MCTS tree capacity; 0 = auto
     # static bound on recorded search-path depth. Backup/incomplete scatters
     # scale with it, so keep it tight; a deeper descent falls back to a

@@ -44,13 +44,21 @@ def evaluate_vs_random(config, mcts: MCTS, network, variables,
     next_player in this lockstep arena — players strictly alternate and
     terminated boards no-op — so the model half is static per tick parity:
     boards assigned BLACK move with the model on even ticks, the WHITE half
-    on odd ticks."""
+    on odd ticks. ``num_games`` must be even: an odd count would hand the
+    model the extra BLACK board and run the search on an empty slice on odd
+    ticks (ADVICE r4)."""
+    if num_games % 2 != 0:
+        raise ValueError(
+            f"evaluate_vs_random needs an even num_games (got {num_games}):"
+            " colors are assigned half/half and the search runs on one half"
+            " per tick"
+        )
     engine = mcts.engine
     eval_fn = make_eval_fn(network, variables, komi=config.komi,
                            own_blend=config.value_own_blend,
                            tanh_norm=config.tanh_norm)
     states = engine.init(num_games)
-    half = (num_games + 1) // 2
+    half = num_games // 2
     model_black = jnp.arange(num_games) < half
 
     from functools import partial
@@ -63,12 +71,29 @@ def evaluate_vs_random(config, mcts: MCTS, network, variables,
         model_act = mcts.select_action(sub_states, eval_fn, km)
         action = random_bot_actions(engine, states, kr)
         action = action.at[sub].set(model_act.astype(jnp.int32))
-        return engine.step(states, action)
+        # tick-parity soundness check (ADVICE r4): the half-batch search is
+        # only valid while live boards' mover matches the tick parity; if
+        # the engine ever rejected a sampled action without flipping
+        # next_player, colors would silently desync for the rest of the
+        # game. Returns the violation count so the host loop can assert.
+        expect = jnp.int8(BLACK) if model_first else jnp.int8(WHITE)
+        live = ~states.terminated
+        desync = jnp.sum(
+            (live & (states.next_player != expect)).astype(jnp.int32)
+        )
+        new_states, done = engine.step(states, action)
+        return new_states, done, desync
 
     for t in range(config.max_step + 2):
         key, k = jax.random.split(key)
         # mover is BLACK on even ticks -> the model-as-BLACK half searches
-        states, done = one_move(states, k, model_first=(t % 2 == 0))
+        states, done, desync = one_move(states, k, model_first=(t % 2 == 0))
+        if int(desync) != 0:
+            raise AssertionError(
+                f"smoke arena tick-parity desync on {int(desync)} boards at "
+                f"tick {t}: a live board's next_player does not match the "
+                "alternating-color schedule"
+            )
         if bool(jnp.all(done)):
             break
 

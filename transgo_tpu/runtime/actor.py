@@ -89,6 +89,13 @@ class SelfPlayActor:
         # applied here (at each board's move start), never by the search
         self.continuous = bool(getattr(config, "continuous_selfplay", False))
         self.chunk_ticks = int(getattr(config, "selfplay_chunk_ticks", 16))
+        # fused-chunk boundary cadence (see Config.selfplay_boundary_every)
+        self.boundary_every = max(
+            1, min(
+                int(getattr(config, "selfplay_boundary_every", 1)),
+                self.chunk_ticks,
+            )
+        )
         self.drain_size = min(drain_size, self.batch)
         # fused-chunk per-tick append budget: a full-batch synchronized
         # burst (the whole first generation hits max_step on the same tick)
@@ -114,13 +121,18 @@ class SelfPlayActor:
             self._init_games = lambda b, key: self.engine.init(b)
         # first-generation desync (config.stagger_init): only plain
         # engines in continuous mode — the live-window engine already
-        # randomizes starts, and lockstep mode has no wave problem
+        # randomizes starts, and lockstep mode has no wave problem.
+        # Skipped when resuming from a trained policy (config.init_model;
+        # load_checkpoint clears it too): uniform-random openings are fine
+        # for a fresh net but pollute post-resume training targets and
+        # depth probes with off-policy positions (ADVICE r4).
         self._stagger_max = (
             self.max_moves // 4
             if (
                 getattr(config, "stagger_init", False)
                 and self.continuous
                 and not hasattr(self.engine, "init_random")
+                and not getattr(config, "init_model", None)
             )
             else 0
         )
@@ -170,30 +182,42 @@ class SelfPlayActor:
         position (move_count 0), so first-generation games are shorter by
         k_i moves and their completions spread across ~max_step//4 ticks;
         every later generation inherits the spread because a board's next
-        game starts the tick its previous one drains."""
-        b = states.stones.shape[0]
+        game starts the tick its previous one drains. Traceable — called
+        under the init_state jit (a fixed-round fori_loop)."""
         koff, key = jax.random.split(key)
+        b = states.stones.shape[0]
         offsets = jax.random.randint(koff, (b,), 0, self._stagger_max + 1)
-        step_fn = jax.jit(self._stagger_step)
-        for i in range(self._stagger_max):
+
+        def body(i, carry):
+            states, key = carry
             key, kk = jax.random.split(key)
-            states = step_fn(states, offsets > i, kk)
+            return self._stagger_step(states, offsets > i, kk), key
+
+        states, _ = jax.lax.fori_loop(
+            0, self._stagger_max, body, (states, key)
+        )
         return states
 
     def init_state(self, variables, key, gamma=None) -> ActorState:
         b = self.batch
         t = self.max_moves
-        key, kgames, knoise = jax.random.split(key, 3)
-        games = self._init_games(b, kgames)
-        if self._stagger_max > 0:
-            key, kstag = jax.random.split(key)
-            games = self._stagger_games(games, kstag)
-        tree = self.mcts.new_tree(b)
-        tree = self.mcts.reset_root(
-            tree, self._eval_fn(variables, gamma), games,
-        )
-        if self.continuous:
-            tree = self.mcts.root_dirichlet(tree, knoise)
+        key, kgames, knoise, kstag = jax.random.split(key, 4)
+        eval_fn = self._eval_fn(variables, gamma)
+
+        # one jitted build: eager op-by-op dispatch of the stagger loop +
+        # root evaluation took ~3.5 min per process at the production shape
+        # through the tunneled device link; compiled it is seconds
+        def build(kgames, kstag, knoise):
+            games = self._init_games(b, kgames)
+            if self._stagger_max > 0:
+                games = self._stagger_games(games, kstag)
+            tree = self.mcts.new_tree(b)
+            tree = self.mcts.reset_root(tree, eval_fn, games)
+            if self.continuous:
+                tree = self.mcts.root_dirichlet(tree, knoise)
+            return tree
+
+        tree = jax.jit(build)(kgames, kstag, knoise)
         bar = jnp.arange(b)
         return ActorState(
             tree=tree,
@@ -325,7 +349,9 @@ class SelfPlayActor:
         )
         move_count = state.move_count + ready.astype(jnp.int32)
 
-        adv_tree, adv_done, adv_need = self.mcts.advance_raw(tree, action)
+        adv_tree, adv_done, adv_need = self.mcts.advance_raw(
+            tree, action, valid=ready
+        )
 
         def pick(new, old):
             m = ready.reshape(ready.shape + (1,) * (old.ndim - 1))
@@ -461,8 +487,14 @@ class SelfPlayActor:
         bar = jnp.arange(b)
         eval_fn = self._eval_fn(variables, gamma)
         d = self.append_budget
+        # boundary cadence: one boundary phase per k search rounds (the
+        # boundary costs ~8x a round at the production shape — see
+        # Config.selfplay_boundary_every). k=1 reproduces the original
+        # one-boundary-per-round chunk exactly.
+        k = self.boundary_every
+        groups = max(1, self.chunk_ticks // k)
 
-        def tick(carry, _):
+        def group(carry, _):
             state, dreplay, games, moves = carry
             key, kround, ksample, knoise, kgames = jax.random.split(
                 state.rng, 5
@@ -472,7 +504,7 @@ class SelfPlayActor:
             state, ready, done, need_expand = self._move_phase(
                 state, ksample
             )
-            # pending = just finished this tick + frozen from earlier ticks;
+            # pending = just finished this boundary + frozen from earlier;
             # the first d (stable order) drain now, the rest freeze
             pending = done | state.await_drain
             ranks = jnp.cumsum(pending.astype(jnp.int32)) - 1
@@ -506,10 +538,16 @@ class SelfPlayActor:
                 jnp.any(pending), on_done, lambda op: op, (state, dreplay)
             )
             state = state.replace(await_drain=pending & ~drained)
-            # one batched root eval for advance sites + reset sites
+            # one batched root eval for advance sites + reset sites; with
+            # tree reuse most boundaries promote already-expanded subtrees,
+            # so the whole eval skips under the batch-any cond
+            need = need_expand | drained
             state = state.replace(
-                tree=self.mcts._expand_roots(
-                    state.tree, eval_fn, need_expand | drained
+                tree=jax.lax.cond(
+                    jnp.any(need),
+                    lambda t: self.mcts._expand_roots(t, eval_fn, need),
+                    lambda t: t,
+                    state.tree,
                 )
             )
             # drained boards start a fresh move (noise + visit target on the
@@ -518,15 +556,20 @@ class SelfPlayActor:
                 state, ready | drained, pending & ~drained, knoise
             )
 
-            tree = state.tree
-            active = (
-                tree.stats[bar, tree.root, VISIT] < state.visit_target
-            )
-            tree = self.mcts.run_round(tree, eval_fn, kround, active)
-            state = state.replace(
-                tree=tree,
-                move_rounds=state.move_rounds + active.astype(jnp.int32),
-            )
+            def round_body(st, i):
+                tree = st.tree
+                active = (
+                    tree.stats[bar, tree.root, VISIT] < st.visit_target
+                )
+                tree = self.mcts.run_round(
+                    tree, eval_fn, jax.random.fold_in(kround, i), active
+                )
+                return st.replace(
+                    tree=tree,
+                    move_rounds=st.move_rounds + active.astype(jnp.int32),
+                ), None
+
+            state, _ = jax.lax.scan(round_body, state, jnp.arange(k))
 
             return (
                 state,
@@ -537,8 +580,8 @@ class SelfPlayActor:
 
         zero = jnp.int32(0)
         (state, dreplay, games, moves), _ = jax.lax.scan(
-            tick, (state, dreplay, zero, zero), None,
-            length=self.chunk_ticks,
+            group, (state, dreplay, zero, zero), None,
+            length=groups,
         )
         return state, dreplay, {
             "games": games, "moves": moves,

@@ -683,9 +683,75 @@ class TrainPipeline:
 
     # ------------------------------------------------------------------
     # checkpoint / resume (orbax; unifies transgo.py:171-208 artifacts)
+    def _bounded_device_get(self, arr, timeout_s: float):
+        """``jax.device_get`` in a watchdog thread. Returns the numpy value,
+        or None if the transfer did not complete within ``timeout_s`` (the
+        daemon thread is abandoned; the caller degrades instead of wedging
+        — the r4 flagship run's final save hung exactly here, on a ~2 GB
+        single-shot ring readback with zero CPU on every thread)."""
+        import threading
+
+        out = {}
+
+        def run():
+            try:
+                out["v"] = np.asarray(jax.device_get(arr))
+            except Exception as e:  # pragma: no cover
+                out["e"] = e
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(max(0.1, timeout_s))
+        if "e" in out:  # pragma: no cover
+            raise out["e"]
+        return out.get("v")
+
+    def _ring_to_host(self):
+        """Chunked device->host readback of the replay ring.
+
+        Reads only the live region (rows beyond size() are zeros by
+        construction) in ``ring_save_slice_mb`` slices, each under the
+        remaining share of the ``ring_save_timeout`` wall-clock budget.
+        Returns {obs, pi, win_z, own_z, index, full} as host numpy arrays,
+        or None if the budget ran out / a slice wedged (VERDICT r4 weak #1:
+        degrade, don't hang)."""
+        cfg = self.config
+        deadline = time.time() + float(
+            getattr(cfg, "ring_save_timeout", 300.0)
+        )
+        slice_bytes = int(getattr(cfg, "ring_save_slice_mb", 64)) << 20
+        head = self._bounded_device_get(
+            (self.dreplay.index, self.dreplay.full),
+            deadline - time.time(),
+        )
+        if head is None:  # pragma: no cover
+            return None
+        index, full = int(head[0]), bool(head[1])
+        out = {"index": np.int32(index), "full": np.bool_(full)}
+        for name in ("obs", "pi", "win_z", "own_z"):
+            arr = getattr(self.dreplay, name)
+            cap = arr.shape[0]
+            live = cap if full else index
+            row_bytes = max(1, arr.nbytes // max(1, cap))
+            rows_per = max(1, slice_bytes // row_bytes)
+            host = np.zeros(arr.shape, arr.dtype)
+            for s in range(0, live, rows_per):
+                rem = deadline - time.time()
+                if rem <= 0:
+                    return None
+                chunk = self._bounded_device_get(
+                    arr[s:min(s + rows_per, live)], rem
+                )
+                if chunk is None:  # pragma: no cover
+                    return None
+                host[s:s + chunk.shape[0]] = chunk
+            out[name] = host
+        return out
+
     def save_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
 
+        t_save = time.time()
         self.flush_pending()  # counters must match the saved arrays
         path = Path(path).absolute()
         ckpt = {
@@ -709,16 +775,42 @@ class TrainPipeline:
                 ),
             },
         }
+        ring_note = "no ring"
         if self.use_device_replay and self.config.is_save_buffer:
-            # the device ring is just arrays — it rides in the checkpoint
-            ckpt["replay"] = {
-                "obs": self.dreplay.obs, "pi": self.dreplay.pi,
-                "win_z": self.dreplay.win_z, "own_z": self.dreplay.own_z,
-                "index": self.dreplay.index, "full": self.dreplay.full,
-            }
+            # the ring rides in the checkpoint — but via the CHUNKED
+            # host readback, never as device arrays handed straight to
+            # orbax (whose single-shot readback wedged the r4 flagship
+            # run's final save). A failed/timed-out readback degrades to
+            # a params+opt_state+counters-only checkpoint.
+            ring = None
+            try:
+                ring = self._ring_to_host()
+            except Exception as e:  # pragma: no cover
+                self.logger.console(
+                    f"[ckpt][warn] ring readback failed ({e}); saving "
+                    "without replay"
+                )
+            if ring is not None:
+                ckpt["replay"] = ring
+                ring_note = (
+                    f"ring {sum(v.nbytes for v in ring.values()) / 2**20:.0f}"
+                    " MB"
+                )
+            else:
+                self.logger.console(
+                    "[ckpt][warn] ring readback exceeded "
+                    f"ring_save_timeout={self.config.ring_save_timeout:.0f}s;"
+                    " saving params+counters only (resume will rebuild the"
+                    " buffer from fresh self-play)"
+                )
+                ring_note = "ring SKIPPED (timeout)"
         checkpointer = ocp.StandardCheckpointer()
         checkpointer.save(path, ckpt, force=True)
         checkpointer.wait_until_finished()
+        self.logger.console(
+            f"[ckpt] saved {path.name} in {time.time() - t_save:.1f}s "
+            f"({ring_note})"
+        )
         # reference-compatible segmented replay persistence (host buffer)
         if self.replay is not None and self.config.is_save_buffer:
             seg_path = Path(self.config.results_path)
@@ -759,15 +851,24 @@ class TrainPipeline:
         try:
             ckpt = checkpointer.restore(path, template)
         except BaseException:
-            # template mismatch (e.g. a checkpoint saved without the
-            # replay ring or the cum_seconds counter): raw restore still
-            # recovers params/batch_stats/counters; opt_state is then
-            # re-initialized fresh rather than restored malformed
-            ckpt = checkpointer.restore(path)
-            ckpt["opt_state"] = self.learner.init_state({
-                "params": ckpt["params"],
-                "batch_stats": ckpt["batch_stats"],
-            }).opt_state
+            try:
+                # a degraded save (ring readback timed out — see
+                # save_checkpoint) has no "replay" entry; retry without it
+                # so the opt_state still restores properly
+                ckpt = checkpointer.restore(
+                    path, {k: v for k, v in template.items()
+                           if k != "replay"}
+                )
+            except BaseException:
+                # template mismatch (e.g. a checkpoint saved without the
+                # cum_seconds counter): raw restore still recovers
+                # params/batch_stats/counters; opt_state is then
+                # re-initialized fresh rather than restored malformed
+                ckpt = checkpointer.restore(path)
+                ckpt["opt_state"] = self.learner.init_state({
+                    "params": ckpt["params"],
+                    "batch_stats": ckpt["batch_stats"],
+                }).opt_state
         self.train_state = TrainState(
             params=ckpt["params"],
             batch_stats=ckpt["batch_stats"],
@@ -802,6 +903,22 @@ class TrainPipeline:
         if self.replay is not None and self.config.init_buffer:
             for p in self.config.init_buffer:
                 self.replay.load_from(p)
+        # post-resume games start from the empty board, not stagger
+        # openings: uniform-random openings desync a FRESH run's first
+        # generation, but on a resume they would inject one generation of
+        # off-policy targets per restart (ADVICE r4). The restored games
+        # counter is already spread out, so wave-sync is not a concern.
+        if self.actor._stagger_max:
+            self.actor._stagger_max = 0
+            self._key, k = jax.random.split(self._key)
+            self.actor_state = self.actor.init_state(
+                self.learner.variables(self.train_state), k,
+                gamma=self._transfer_gamma(),
+            )
+            if self.mesh is not None:
+                from transgo_tpu.parallel.mesh import shard_batch
+
+                self.actor_state = shard_batch(self.mesh, self.actor_state)
         if self.mesh is not None:
             from transgo_tpu.parallel.mesh import replicate
 

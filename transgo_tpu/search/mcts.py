@@ -895,12 +895,21 @@ class MCTS:
         return new_tree, done
 
     def advance_raw(
-        self, tree: Tree, action: jnp.ndarray
+        self, tree: Tree, action: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
     ) -> Tuple[Tree, jnp.ndarray, jnp.ndarray]:
         """``advance`` without the root evaluation: returns
         (tree, done[B], need_expand[B]) so a fused caller can batch the
         expansion eval of several advance/reset sites into one network
-        call (the continuous actor's per-tick move phase)."""
+        call (the continuous actor's per-tick move phase).
+
+        ``valid`` bool[B]: boards whose advance the caller will actually
+        keep (the continuous move phase advances every board and merges
+        only the ready ones). The fresh-root slot-0 fill — a scoring flood
+        fill + board re-analysis, by far the most expensive piece — then
+        runs under a batch-any cond over valid empty boards only, which
+        skips it on the common all-reused-subtree boundary instead of
+        paying it for hypothetical advances that get discarded."""
         b, m, a = tree.shape
         bar = jnp.arange(b)
         old_root_states = gather_nodes(tree, tree.root)
@@ -919,68 +928,86 @@ class MCTS:
                 root=jnp.zeros((b,), jnp.int32),
             )
         empty = new_tree.node_count == 0
+        if valid is not None:
+            # non-kept boards never need their slot-0 filled: their merged
+            # tree is the OLD one (caller's `pick` drops this advance)
+            empty = empty & valid
         # allocate slot 0 for boards with no inherited subtree
         new_tree = new_tree.replace(
             node_count=jnp.maximum(new_tree.node_count, 1)
         )
         root0 = jnp.zeros((b,), jnp.int32)
-        # fresh slot-0 init for empty boards (stale data is possible)
-        def clr(x, fill):
-            return x.at[:, 0].set(jnp.where(empty, fill, x[:, 0]))
 
-        term_winner = self.engine.winner(stepped)
-        term_value = jnp.where(
-            stepped.next_player == term_winner, 1.0, -1.0
-        ).astype(jnp.float32)
-        stepped_analysis = self.engine.analyze(stepped)
-        stepped_legal = self.engine.legal_action_mask(stepped, stepped_analysis)
+        def _fill_slot0(nt: Tree) -> Tree:
+            # fresh slot-0 init for empty boards (stale data is possible)
+            def clr(x, fill):
+                return x.at[:, 0].set(jnp.where(empty, fill, x[:, 0]))
 
-        new_tree = new_tree.replace(
-            stats=new_tree.stats.at[:, 0].set(
-                jnp.where(empty[:, None], 0.0, new_tree.stats[:, 0])
-            ),
-            init_value=clr(new_tree.init_value, 0.0),
-            expanded=clr(new_tree.expanded, False),
-            terminal=new_tree.terminal.at[:, 0].set(
-                jnp.where(empty, done, new_tree.terminal[:, 0])
-            ),
-            terminal_value=new_tree.terminal_value.at[:, 0].set(
-                jnp.where(empty, term_value, new_tree.terminal_value[:, 0])
-            ),
-            parent=clr(new_tree.parent, NULL),
-            parent_action=clr(new_tree.parent_action, NULL),
-            edge_child=new_tree.edge_child.at[:, 0].set(
-                jnp.where(empty[:, None], NULL, new_tree.edge_child[:, 0])
-            ),
-            edge_prior=new_tree.edge_prior.at[:, 0].set(
-                jnp.where(empty[:, None], 0.0, new_tree.edge_prior[:, 0])
-            ),
-            legal=new_tree.legal.at[:, 0].set(
-                jnp.where(empty[:, None], stepped_legal, new_tree.legal[:, 0])
-            ),
-            node_libs=new_tree.node_libs.at[:, 0].set(
-                jnp.where(
-                    empty[:, None],
-                    stepped_analysis.groups.stone_libs.astype(jnp.int16),
-                    new_tree.node_libs[:, 0],
-                )
-            ),
-            node_size=new_tree.node_size.at[:, 0].set(
-                jnp.where(
-                    empty[:, None],
-                    stepped_analysis.groups.stone_size.astype(jnp.int16),
-                    new_tree.node_size[:, 0],
-                )
-            ),
-            node_group=new_tree.node_group.at[:, 0].set(
-                jnp.where(
-                    empty[:, None],
-                    stepped_analysis.groups.labels.astype(jnp.int16),
-                    new_tree.node_group[:, 0],
-                )
-            ),
+            term_winner = self.engine.winner(stepped)
+            term_value = jnp.where(
+                stepped.next_player == term_winner, 1.0, -1.0
+            ).astype(jnp.float32)
+            stepped_analysis = self.engine.analyze(stepped)
+            stepped_legal = self.engine.legal_action_mask(
+                stepped, stepped_analysis
+            )
+
+            nt = nt.replace(
+                stats=nt.stats.at[:, 0].set(
+                    jnp.where(empty[:, None], 0.0, nt.stats[:, 0])
+                ),
+                init_value=clr(nt.init_value, 0.0),
+                expanded=clr(nt.expanded, False),
+                terminal=nt.terminal.at[:, 0].set(
+                    jnp.where(empty, done, nt.terminal[:, 0])
+                ),
+                terminal_value=nt.terminal_value.at[:, 0].set(
+                    jnp.where(empty, term_value, nt.terminal_value[:, 0])
+                ),
+                parent=clr(nt.parent, NULL),
+                parent_action=clr(nt.parent_action, NULL),
+                edge_child=nt.edge_child.at[:, 0].set(
+                    jnp.where(empty[:, None], NULL, nt.edge_child[:, 0])
+                ),
+                edge_prior=nt.edge_prior.at[:, 0].set(
+                    jnp.where(empty[:, None], 0.0, nt.edge_prior[:, 0])
+                ),
+                legal=nt.legal.at[:, 0].set(
+                    jnp.where(
+                        empty[:, None], stepped_legal, nt.legal[:, 0]
+                    )
+                ),
+                node_libs=nt.node_libs.at[:, 0].set(
+                    jnp.where(
+                        empty[:, None],
+                        stepped_analysis.groups.stone_libs.astype(jnp.int16),
+                        nt.node_libs[:, 0],
+                    )
+                ),
+                node_size=nt.node_size.at[:, 0].set(
+                    jnp.where(
+                        empty[:, None],
+                        stepped_analysis.groups.stone_size.astype(jnp.int16),
+                        nt.node_size[:, 0],
+                    )
+                ),
+                node_group=nt.node_group.at[:, 0].set(
+                    jnp.where(
+                        empty[:, None],
+                        stepped_analysis.groups.labels.astype(jnp.int16),
+                        nt.node_group[:, 0],
+                    )
+                ),
+            )
+            return write_node_states(nt, root0, stepped, empty)
+
+        # the fill (scoring flood fill + re-analysis + a slot-0 pass over
+        # every tree array) only runs when some kept board actually starts
+        # from an unallocated child — with tree reuse on, most boundaries
+        # promote an existing subtree and skip all of it
+        new_tree = jax.lax.cond(
+            jnp.any(empty), _fill_slot0, lambda nt: nt, new_tree
         )
-        new_tree = write_node_states(new_tree, root0, stepped, empty)
         # keep inherited root states authoritative: the reused child's stored
         # state is identical to `stepped` (deterministic engine)
         need_expand = ~new_tree.expanded[bar, new_tree.root]
