@@ -50,8 +50,18 @@ def cmd_scale(args, live: bool):
     )
 
     build = build_scale_live_pipeline if live else build_scale_bound_pipeline
-    pipe = build(quiet=False, results_path=args.results, seed=args.seed)
+    over = {}
+    if args.batch:
+        over["selfplay_batch"] = args.batch
+    if args.continuous:
+        over["continuous_selfplay"] = True
+    pipe = build(quiet=False, results_path=args.results, seed=args.seed,
+                 **over)
     pipe.train(max_seconds=args.seconds)
+    pipe.flush_pending()
+    pipe._save_policy(
+        pipe.learner.variables(pipe.train_state), "sub_policy"
+    )
     if args.checkpoint:
         pipe.save_checkpoint(args.checkpoint)
 
@@ -251,6 +261,13 @@ def main(argv=None):
         s.add_argument("--results", default=f"./results_{name}")
         s.add_argument("--seed", type=int, default=0)
         s.add_argument("--checkpoint", default=None)
+        s.add_argument("--batch", type=int, default=0,
+                       help="selfplay batch override (0 = config default; "
+                       "prefer >=1024 on the chip — the 7x7 shapes hit a "
+                       "Mosaic compile pathology at B=256)")
+        s.add_argument("--continuous", action="store_true",
+                       help="fused continuous self-play (the production "
+                       "loop) instead of lockstep moves")
 
     g = sub.add_parser("gtp")
     g.add_argument("--checkpoint", default=None)

@@ -174,7 +174,10 @@ class Config:
     # SEMANTICS ARE UNCHANGED: same visit target, same noise/temperature/
     # pi/reuse rules — only the boundary-check cadence changes. Clamped to
     # selfplay_chunk_ticks; rounds per chunk = (chunk_ticks//k)*k.
-    selfplay_boundary_every: int = 4
+    # Measured at the flagship shape (tools/profile_chunk.py, r5):
+    # k=1 ~80 moves/s, k=4 264, k=8 288.5 (B=256); k=16 gains <5% more
+    # at 2x the boundary latency, so 8 is the default.
+    selfplay_boundary_every: int = 8
     # fused-chunk per-tick device-replay append budget; 0 = auto
     # (max(32, B/8)). Finished games beyond it defer to later ticks.
     append_budget: int = 0
