@@ -413,7 +413,9 @@ def main():
                     "VERDICT r4 weak #4: B=8 alone is noise-dominated)")
     ap.add_argument("--no-b3", action="store_true",
                     help="skip the measured config #3 interleaved loop")
-    ap.add_argument("--b3-batch", type=int, default=256)
+    ap.add_argument("--b3-batch", type=int, default=1024,
+                    help="batch for the measured config #3 (the r5 "
+                    "flagship runs use B=1024; see DESIGN.md section 13)")
     ap.add_argument("--b3-measure", type=float, default=60.0)
     args = ap.parse_args()
 
